@@ -1,0 +1,88 @@
+package graft.drift
+
+import graft.sketch.ColumnProfiler.SketchProfile
+import graft.sketch.Sketches
+
+/** Distribution-drift scoring against a baseline snapshot (north_star):
+  * KS distance on t-digest CDFs for numeric columns, PSI on t-digest decile
+  * bins and on categorical frequency sketches. Pure driver-side math over
+  * merged sketches — no data movement, so scoring cost is independent of
+  * table size.
+  */
+object Drift {
+
+  /** Kolmogorov–Smirnov distance between two t-digest CDFs, evaluated on a
+    * quantile grid drawn from BOTH digests (so step regions of either
+    * distribution are sampled).
+    */
+  def ks(tdBaseline: Array[Byte], tdCurrent: Array[Byte], gridPerSide: Int = 101): Double = {
+    val a = Sketches.td(tdBaseline)
+    val b = Sketches.td(tdCurrent)
+    if (a.isEmpty || b.isEmpty) return if (a.isEmpty == b.isEmpty) 0.0 else 1.0
+    val grid = (0 to gridPerSide).flatMap { i =>
+      val q = i.toDouble / gridPerSide
+      Seq(a.getQuantile(q), b.getQuantile(q))
+    }.distinct.sorted
+    grid.map(x => math.abs(a.getRank(x) - b.getRank(x))).max
+  }
+
+  /** Population Stability Index over bins derived from the BASELINE deciles
+    * (the standard PSI recipe). ε-clamped so empty bins don't blow up.
+    */
+  def psiNumeric(tdBaseline: Array[Byte], tdCurrent: Array[Byte], bins: Int = 10, eps: Double = 1e-6): Double = {
+    val a = Sketches.td(tdBaseline)
+    val b = Sketches.td(tdCurrent)
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val edges = (1 until bins).map(i => a.getQuantile(i.toDouble / bins))
+    def binProbs(t: org.apache.datasketches.tdigest.TDigestDouble): Seq[Double] = {
+      val ranks = edges.map(t.getRank)
+      val cum = 0.0 +: ranks :+ 1.0
+      cum.sliding(2).map { case Seq(lo, hi) => math.max(hi - lo, eps) }.toSeq
+    }
+    binProbs(a).zip(binProbs(b)).map { case (p, q) => (q - p) * math.log(q / p) }.sum
+  }
+
+  /** PSI over categorical frequencies (fmt mix) from two frequent-items
+    * sketches. For low-cardinality columns like fmt the sketch estimates
+    * are exact, so this equals the exact PSI.
+    */
+  def psiCategorical(freqBaseline: Array[Byte], freqCurrent: Array[Byte], eps: Double = 1e-6): Double = {
+    val a = Sketches.freqStringItems(freqBaseline).toMap
+    val b = Sketches.freqStringItems(freqCurrent).toMap
+    val na = math.max(a.values.sum.toDouble, 1.0)
+    val nb = math.max(b.values.sum.toDouble, 1.0)
+    (a.keySet ++ b.keySet).toSeq.map { k =>
+      val p = math.max(a.getOrElse(k, 0L) / na, eps)
+      val q = math.max(b.getOrElse(k, 0L) / nb, eps)
+      (q - p) * math.log(q / p)
+    }.sum
+  }
+
+  final case class DriftScore(metric: String, column: String, value: Double, threshold: Double, pass: Boolean)
+
+  final case class DriftReport(scores: Seq[DriftScore]) {
+    def pass: Boolean = scores.forall(_.pass)
+  }
+
+  /** Full drift check of a snapshot profile vs a baseline profile
+    * (north_rule `drift(w,h,bytes,fmt)`): KS + PSI on w/h (+ byte size when
+    * profiled), PSI on the fmt mix.
+    */
+  def report(baseline: SketchProfile, current: SketchProfile, ksMax: Double = 0.1, psiMax: Double = 0.1): DriftReport = {
+    val numeric = Seq(
+      ("w", baseline.tdW, current.tdW),
+      ("h", baseline.tdH, current.tdH)
+    ) ++ (for { b <- baseline.tdByteSize; c <- current.tdByteSize } yield ("byte_size", b, c)).toSeq
+    val scores = numeric.flatMap { case (col, b, c) =>
+      val k = ks(b, c); val p = psiNumeric(b, c)
+      Seq(
+        DriftScore("ks", col, k, ksMax, k <= ksMax),
+        DriftScore("psi", col, p, psiMax, p <= psiMax)
+      )
+    } :+ {
+      val v = psiCategorical(baseline.freqFmt, current.freqFmt)
+      DriftScore("psi", "fmt", v, psiMax, v <= psiMax)
+    }
+    DriftReport(scores)
+  }
+}
