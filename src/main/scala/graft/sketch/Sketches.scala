@@ -157,6 +157,17 @@ object Sketches {
     val x = td(a); x.merge(td(b)); x.compress(); x.toByteArray
   }
 
+  def freqLongMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = LongsSketch.getInstance(Memory.wrap(a))
+    x.merge(LongsSketch.getInstance(Memory.wrap(b))).toByteArray
+  }
+
+  def freqStringMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val serde = new ArrayOfStringsSerDe
+    val x = ItemsSketch.getInstance(Memory.wrap(a), serde)
+    x.merge(ItemsSketch.getInstance(Memory.wrap(b), serde)).toByteArray(serde)
+  }
+
   def freqLongTopK(bytes: Array[Byte], k: Int): Seq[(Long, Long)] =
     LongsSketch
       .getInstance(Memory.wrap(bytes))

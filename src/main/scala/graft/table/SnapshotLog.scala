@@ -1,0 +1,108 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot manifest — the unit of atomic visibility. All outputs of a
+  * commit (valid rows, violation rows, rollups, metrics, sketches) become
+  * visible together or not at all: readers only ever list files through a
+  * committed manifest. This is how the engine honors both Iceberg snapshot
+  * semantics and the reference's delivery-confirmed GuaranteedProducer
+  * contract (/root/reference/lib/factories/default-eventgate.js:254-257):
+  * no partial batch is ever observable.
+  *
+  * Lineage per north_rule: source snapshot id (parent), partition spec,
+  * constraint-set version, committed partition set, metrics.
+  */
+final case class Manifest(
+    snapshotId: String,
+    sequence: Long,
+    parentId: Option[String],
+    constraintVersion: String,
+    partitionSpec: String,
+    committedPartitions: Seq[Int],
+    complete: Boolean,
+    tables: Map[String, Seq[String]], // logical table -> data paths
+    metrics: Map[String, Long],
+    sketches: Map[String, String], // name -> base64(serialized sketch)
+    createdAtMs: Long
+)
+
+/** Append-only snapshot log over any Hadoop filesystem.
+  *
+  * No Iceberg jars ship in this environment (SURVEY.md env facts), so this
+  * thin layer supplies the needed subset: numbered JSON manifests under
+  * `<root>/snapshots/`, committed by write-to-temp + atomic rename (atomic
+  * on HDFS and on local fs). HEAD = highest committed sequence — derived by
+  * listing, so there is no second pointer file to keep consistent.
+  */
+final class SnapshotLog(val root: String, conf: Configuration) extends Serializable {
+
+  @transient private lazy val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+  private def snapDir = new Path(root, "snapshots")
+
+  def dataDir(partition: Int, table: String): String =
+    new Path(root, s"data/p=$partition/$table").toString
+
+  private def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
+
+  def head: Option[Manifest] = {
+    val f = fs
+    if (!f.exists(snapDir)) return None
+    val seqs = f
+      .listStatus(snapDir)
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+    if (seqs.isEmpty) None else Some(read(seqs.max))
+  }
+
+  def read(seq: Long): Manifest = {
+    val in = fs.open(manifestPath(seq))
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(manifestPath(seq)).getLen.toInt)
+      in.readFully(bytes)
+      val m = mapper.readValue(bytes, classOf[Manifest])
+      // Jackson erases generic container params: numeric map values arrive
+      // as Integer at runtime. Normalize to Long to keep the typed API honest.
+      val rawMetrics = m.metrics.asInstanceOf[Map[String, Any]]
+      m.copy(metrics = rawMetrics.map { case (k, v) => (k, v.asInstanceOf[Number].longValue) })
+    } finally in.close()
+  }
+
+  /** Atomic commit: temp write + rename is the commit point. Sequence is
+    * assigned here (head+1); a racing writer loses the rename and retries
+    * at the next sequence (single-writer in this engine, but the protocol
+    * is safe for one winner).
+    */
+  def commit(m: Manifest): Manifest = {
+    val f = fs
+    f.mkdirs(snapDir)
+    val seq = head.map(_.sequence + 1).getOrElse(1L)
+    val stamped = m.copy(sequence = seq, snapshotId = f"snap-$seq%08d")
+    val tmp = new Path(snapDir, s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(mapper.writeValueAsString(stamped).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(seq)))
+      throw new IllegalStateException(s"commit of sequence $seq lost the rename race")
+    stamped
+  }
+
+  /** Read a logical table through the manifest's file list (never by
+    * directory listing — uncommitted data is invisible by construction).
+    */
+  def readTable(spark: SparkSession, m: Manifest, table: String): DataFrame = {
+    val paths = m.tables.getOrElse(table, Seq.empty)
+    require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
+    spark.read.parquet(paths: _*)
+  }
+}
