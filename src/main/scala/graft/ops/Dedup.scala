@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, each designed around
+  * its shuffle shape at 10^12-row scale:
+  *
+  *  - exact: shuffle a 128-bit content hash, never the text (a 64-bit key
+  *    would collide ~10^4 times at 10^12 rows);
+  *  - MinHash+LSH: shingle → signature → band keys, candidates meet in a
+  *    band-key equi-join (shuffle carries ids + band hash only), exact
+  *    Jaccard verifies candidates — no quadratic pass anywhere;
+  *  - SimHash: 64-bit signature, 4×16-bit band buckets, Hamming verify;
+  *  - embedding near-dup: random-hyperplane LSH buckets, cosine verify.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-`idCol` row per distinct `textCol`.
+    * Shuffles only (hash, id); survivors re-join the full rows by id.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol).cast("binary")).as("_fp")
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    df.select(col(idCol), h)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(idCol)
+      .join(df, Seq(idCol)) // id is unique ⇒ broadcast-able or shuffle-by-id
+  }
+
+  /** Exact duplicate groups (hash, n, member ids) with n > 1. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n") > 1)
+
+  /** MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) with
+    * id_a < id_b and verified exact Jaccard ≥ threshold.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rows = numHashes / numBands
+    val sigs = df
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows))
+    val keys = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = keys
+      .as("a")
+      .join(keys.as("b"), col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shOnly = sigs.select(col("id"), col("sh"))
+    cand
+      .join(shOnly.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shOnly.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 4×16-bit band buckets, verified by
+    * Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
+    val keys = sigs.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band_key"))
+    )
+    keys
+      .as("a")
+      .join(keys.as("b"), col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", TextOps.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** N-gram Jaccard similarity of all candidate pairs from a band-key join
+    * at a LOW threshold — the exhaustive verify path used when the caller
+    * wants raw similarity scores rather than a cutoff.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame =
+    minhashPairs(df, idCol, textCol, shingleK, numHashes = 32, numBands = 16, threshold = minJaccard)
+
+  /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
+    * exact cosine verification ≥ threshold.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
+    sigs
+      .as("a")
+      .join(sigs.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the data, one narrow pass, per-query window rank. The
+  *    correctness baseline and the right plan whenever |queries| is small.
+  *  - [[IvfIndex]]: IVF coarse quantizer (k-means centroids); queries probe
+  *    the nprobe nearest centroid buckets only, so the candidate set shrinks
+  *    by ~numCentroids/nprobe — the scale path for big query sets.
+  *  - [[rpSignature]]: random-hyperplane LSH bit signature (pure Columns,
+  *    deterministic hyperplanes from xxhash64) for bucketed ANN / near-dup.
+  *
+  * All dot products are `zip_with`+`aggregate` Column expressions (codegen).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2norm(a) * l2norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic random-hyperplane signature: bit j = sign of the dot
+    * product with hyperplane j, whose components are ±1 derived from
+    * xxhash64(j, dim_index). No rand(), no fitted state.
+    */
+  def rpSignature(vec: Column, dim: Int, nbits: Int): Column = {
+    require(nbits <= 62, "signature must fit a long")
+    val dims = sequence(lit(0), lit(dim - 1))
+    val bits = (0 until nbits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, d) => x * when(pmod(xxhash64(lit(j), d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k per query. `queries(queryIdCol, vecCol)` is
+    * broadcast; ties broken by data id for determinism.
+    */
+  def bruteForceTopK(
+      data: DataFrame,
+      queries: DataFrame,
+      dataIdCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv")))
+    val scored = data
+      .select(col(dataIdCol).as("data_id"), col(vecCol).as("_dv"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("_dv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("data_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "data_id", "cosine", "rank")
+  }
+
+  /** IVF index: k-means coarse quantizer; data assigned to its nearest
+    * centroid bucket once; queries probe `nprobe` nearest buckets.
+    */
+  final class IvfIndex private (
+      val assigned: DataFrame, // data_id, _dv, bucket
+      val centroids: Array[(Int, Array[Double])]
+  ) extends Serializable {
+
+    /** ANN top-k: per query, candidates = rows in the nprobe closest
+      * centroid buckets; exact cosine + rank within candidates.
+      */
+    def topK(queries: DataFrame, queryIdCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      val cents = centroids
+      val probeUdf = udf { (v: Seq[Float]) =>
+        cents
+          .map { case (b, c) =>
+            var d = 0.0; var i = 0
+            while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+            (b, d)
+          }
+          .sortBy(_._2)
+          .take(nprobe)
+          .map(_._1)
+      }
+      val q = queries
+        .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+        .withColumn("bucket", explode(probeUdf(col("_qv"))))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("data_id"))
+      assigned
+        .join(broadcast(q), Seq("bucket"))
+        .withColumn("cosine", cosine(col("_dv"), col("_qv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "data_id", "cosine", "rank")
+    }
+  }
+
+  object IvfIndex {
+
+    /** Fit the coarse quantizer (seeded, deterministic) and assign every
+      * data row to its nearest-centroid bucket.
+      */
+    def fit(data: DataFrame, idCol: String, vecCol: String, numCentroids: Int, seed: Long = 42L): IvfIndex = {
+      val feat = data.select(col(idCol).as("data_id"), col(vecCol).as("_dv"))
+        .withColumn("features", array_to_vector(col("_dv")))
+      val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("features").fit(feat)
+      val assigned = model
+        .transform(feat)
+        .withColumnRenamed("prediction", "bucket")
+        .select("data_id", "_dv", "bucket")
+      val cents = model.clusterCenters.zipWithIndex.map { case (v: MlVector, i) => (i, v.toArray) }
+      new IvfIndex(assigned, cents)
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * expressed as codegen'd Column functions (`org.apache.spark.sql.functions`)
+  * — no UDFs in the hot path, so whole-stage codegen and column pruning
+  * survive. One Scala UDF exists in this file (simhash bit-vote), used only
+  * where a 64-lane bit accumulator has no reasonable Column encoding.
+  */
+object TextOps {
+
+  /** Whitespace tokens; empty/blank text → empty array (split would give [""]). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character k-shingles (distinct). Text shorter than k → empty array. */
+  def shingles(c: Column, k: Int): Column =
+    when(length(c) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), length(c) - k), i => c.substr(i + 1, lit(k)))))
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash signature: numHashes independent min-hashes over the shingle
+    * set; hash family = xxhash64 seeded by the lane index. Pure Columns —
+    * the whole signature computes inside one codegen stage.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** LSH band keys from a minhash signature: numBands hashes, each over
+    * rowsPerBand consecutive signature lanes. Two texts sharing ANY band key
+    * are near-dup candidates (standard banding estimate).
+    */
+  def minhashBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      xxhash64(lit(b), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** 64-bit SimHash over whitespace tokens (bit-vote across xxhash64 token
+    * hashes). UDF by design: 64 per-bit counters don't map to Columns sanely.
+    */
+  val simhash64 = udf { toks: Seq[String] =>
+    if (toks == null || toks.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(t.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, t.length, 42)
+        // widen 32-bit murmur to 64 via splitmix-style remix
+        var x = h.toLong * 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = x ^ (x >>> 31)
+        var i = 0
+        while (i < 64) { if (((x >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
+      }
+      var sig = 0L; var i = 0
+      while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    }
+  }
+
+  /** Hamming distance between two 64-bit signatures (codegen'd bit_count). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Document fingerprint: min-shingle-hash (robust to small edits) — the
+    * "rolling hash" fingerprint of the training-pipeline spec.
+    */
+  def fingerprint(c: Column, k: Int = 9): Column =
+    coalesce(array_min(transform(shingles(c, k), s => xxhash64(s))), xxhash64(c))
+
+  // ------------------------------------------------------------ quality ----
+
+  /** Quality metrics (length / punctuation / stopword ratios + mean word
+    * length) — the standard cheap text-quality gates.
+    */
+  def qualityStruct(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(c))
+    val nTok = size(toks).cast("double")
+    val punct = regexp_count(c, lit("[\\p{Punct}]")).cast("double")
+    val alpha = regexp_count(c, lit("[A-Za-z]")).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    struct(
+      length(c).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, length(c) / nTok).otherwise(lit(0.0)).as("mean_word_len"),
+      when(length(c) > 0, punct / length(c)).otherwise(lit(0.0)).as("punct_ratio"),
+      when(length(c) > 0, alpha / length(c)).otherwise(lit(0.0)).as("alpha_ratio"),
+      when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)).as("stopword_ratio")
+    )
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  // ------------------------------------------------------------ lang id ----
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "dans", "pour", "pas"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "para", "como", "más")
+  )
+
+  /** Heuristic language ID: CJK codepoint share decides "zh"; otherwise the
+    * language whose stopword list overlaps the token set most; ties/no hits
+    * → "und" (undetermined). Stopword-ratio heuristics are the classic
+    * cheap langid for corpus triage.
+    */
+  def langId(c: Column): Column = {
+    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast("double")
+    val toks = tokens(lower(c))
+    val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isin(sw: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(length(c) > 0 && cjk / length(c) > 0.2, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("tokens and tokenCount handle empties and runs of whitespace") {
+    val df = Seq("", "  ", "one", " a  b\tc ").toDF("t")
+    val got = df.select(TextOps.tokenCount(col("t"))).as[Int].collect()
+    assert(got.toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("shingles match a reference implementation") {
+    val got = Seq("abcdef").toDF("t").select(TextOps.shingles(col("t"), 3)).as[Seq[String]].collect()(0)
+    assert(got.toSet == Set("abc", "bcd", "cde", "def"))
+    val short = Seq("ab").toDF("t").select(TextOps.shingles(col("t"), 3)).as[Seq[String]].collect()(0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard matches exact set computation") {
+    val df = Seq(("abcd", "bcde")).toDF("x", "y")
+    val got = df.select(TextOps.jaccard(TextOps.shingles(col("x"), 2), TextOps.shingles(col("y"), 2))).as[Double].collect()(0)
+    // shingles(abcd,2)={ab,bc,cd}, shingles(bcde,2)={bc,cd,de}: inter 2, union 4
+    assert(math.abs(got - 0.5) < 1e-9)
+  }
+
+  test("minhash signature estimates jaccard") {
+    val texts = docs.limit(20).select(col("doc_id"), col("text"))
+    val withSig = texts
+      .withColumn("sh", TextOps.shingles(col("text"), 5))
+      .withColumn("sig", TextOps.minhashSignature(col("sh"), 128))
+    val pairs = withSig.as("a").crossJoin(withSig.as("b")).filter(col("a.doc_id") < col("b.doc_id"))
+    val est = pairs.select(
+      TextOps.jaccard(col("a.sh"), col("b.sh")).as("exact"),
+      (size(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)).cast("array<int>"))
+        .cast("double") * 0 + aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, b) => a + b).cast("double") / 128).as("est")
+    ).collect()
+    est.foreach { r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.15, s"exact=${r.getDouble(0)} est=${r.getDouble(1)}") }
+  }
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n") == 3)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = docs.select(col("doc_id"), col("text"))
+    // plant: copy of doc with a tiny suffix edit → very high jaccard
+    val nearDups = base
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(" x")).as("text"))
+    val corpus = base.unionByName(nearDups)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.7)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i => assert(found.contains((i, i + 100000)), s"missing planted pair $i") }
+    // ground truth: brute-force all-pairs exact jaccard (the corpus's tiny
+    // vocab makes some distinct docs genuinely similar — they SHOULD pair)
+    val sh = corpus.select(col("doc_id"), TextOps.shingles(col("text"), 5).as("sh"))
+    val truth = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"), TextOps.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.7).select("ia", "ib").as[(Long, Long)].collect().toSet
+    // soundness: every reported pair is in the exact-jaccard truth set
+    assert(found.subsetOf(truth), s"unsound pairs: ${found.diff(truth)}")
+    // recall at j>=0.8 is ~1 for (64,16)-banding
+    val high = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"), TextOps.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.8).select("ia", "ib").as[(Long, Long)].collect().toSet
+    val recall = if (high.isEmpty) 1.0 else high.intersect(found).size.toDouble / high.size
+    assert(recall >= 0.95, s"recall@0.8=$recall missing=${high.diff(found)}")
+  }
+
+  test("simhash: identical → distance 0; planted near-dups found") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val nearDups = base
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+    val pairs = Dedup.simhashPairs(base.unionByName(nearDups), "doc_id", "text", maxHamming = 3)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i => assert(found.contains((i, i + 100000)), s"missing planted pair $i in $found") }
+  }
+
+  test("cosine matches a scala reference") {
+    val df = Seq((Seq(1.0f, 0f, 0f), Seq(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0)
+    assert(math.abs(got - 0.6) < 1e-6)
+  }
+
+  test("brute-force topk ranks by cosine with deterministic ties") {
+    val data = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.9f, 0.1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(data, q, "vec_id", "vec_id", "embedding", 2)
+      .orderBy("rank").select("data_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("IVF ANN recall@10 >= 0.7 vs brute force on real embeddings") {
+    val queries = embs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "vec_id", "embedding", 10)
+      .select("query_id", "data_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.IvfIndex.fit(embs, "vec_id", "embedding", numCentroids = 8)
+    val approx = ivf.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "data_id").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) => approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall $mean")
+  }
+
+  test("embedding near-dup pairs: planted duplicate found via LSH buckets") {
+    val dup = embs.filter(col("vec_id") === 0).select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Dedup.embeddingPairs(embs.unionByName(dup), "vec_id", "embedding", dim = 64, threshold = 0.999, nbits = 12)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 100000L)), s"planted embedding dup not found: $found")
+  }
+
+  test("langId classifies synthetic multilingual text; CJK by codepoints") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy"),
+      ("de", "der hund und die katze sind nicht ein problem"),
+      ("fr", "le chat est dans la maison et il est content"),
+      ("es", "el perro es una mascota buena para la familia"),
+      ("zh", "中文文本处理非常有趣"),
+      ("und", "zzz qqq xxx")
+    ).toDF("want", "text")
+    val got = df.select(col("want"), TextOps.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality metrics sane on real documents") {
+    val q = docs.select(TextOps.qualityStruct(col("text")).as("q")).select("q.*")
+    val row = q.agg(
+      min("n_tokens"), max("punct_ratio"), min("alpha_ratio"), max("stopword_ratio")
+    ).collect()(0)
+    assert(row.getLong(0) > 0)
+    assert(row.getDouble(1) < 0.2)
+    assert(row.getDouble(2) > 0.5)
+    assert(row.getDouble(3) <= 1.0)
+  }
+
+  test("fingerprint is stable under duplicate text, distinct otherwise") {
+    val df = Seq((1L, "hello world of spark"), (2L, "hello world of spark"), (3L, "completely different")).toDF("id", "t")
+    val fps = df.select(TextOps.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
