@@ -1,0 +1,484 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EngineOptions, ImageConstraints, PixelChecks, ValidationEngine}
+import graft.gen.SyntheticImages
+import graft.integrity.{Referential, SkewJoin}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sketch.{ColumnProfiler, Sketches}
+
+/** The operator inventory as runnable queries (SURVEY.md §2), each paired —
+  * where ANSI-SQL-expressible — with a DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares values):
+  *  - every computed column aliased identically on both sides;
+  *  - no raw floating-point aggregates: money goes through exact integer
+  *    cents (`round(x*100)::bigint`), ratios are rounded after exact
+  *    integer numerators/denominators;
+  *  - deterministic ORDER BY with full tiebreaks on both sides;
+  *  - DuckDB regexp_replace gets the 'g' flag (Spark replaces globally).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ============================ oracle-backed =============================
+
+  /** TPC-H Q1 shape: scan-heavy agg with predicate pushdown. */
+  def q01PricingRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1995-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")).as("sum_disc_tm"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q02FilterProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view", "purchase") && col("value") > 50)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+      .orderBy("event_id")
+      .limit(500)
+
+  def q03DefaultFill(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        coalesce(nullif(col("source"), lit("src0")), lit("filled_default")).as("src_filled")
+      )
+      .orderBy("doc_id")
+
+  def q04RefOrphans(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val a = orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("orders_without_customer").as("check"), col("n"))
+    val b = li.join(part, li("l_partkey") === part("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("lineitem_without_part").as("check"), col("n"))
+    a.unionByName(b).orderBy("check")
+  }
+
+  def q05RefCoverage(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("customers_with_orders"))
+  }
+
+  def q06Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"),
+        col("total_cents")
+      )
+      .orderBy("priority", "status")
+
+  def q07WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  def q08DistinctExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("d_part"),
+      countDistinct(col("l_suppkey")).as("d_supp"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("d_pair")
+    )
+
+  def q09QuantilesExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .agg(
+        round(expr("percentile(p_retailprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(p_retailprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(p_retailprice, 0.9)"), 2).as("p90")
+      )
+
+  /** Salted-join correctness through the oracle: result must equal the plain
+    * SQL join. Hot keys passed explicitly so the salted path executes.
+    */
+  def q10SaltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    SkewJoin
+      .saltedJoin(li, part, "p_partkey", "inner", saltFactor = 4, hotKeys = Seq(1L, 2L, 3L, 4L, 5L))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .orderBy("p_brand")
+  }
+
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(su).withColumn("op", lit("both"))
+      .unionByName(c.except(su).withColumn("op", lit("customer_only")))
+      .select("op", "nk")
+      .orderBy("op", "nk")
+  }
+
+  /** Stream-name sanitization parity (O8, default-eventgate.js:132-152). */
+  def q12StringSanitize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        regexp_replace(
+          regexp_replace(concat(col("event_type"), lit("/v1 beta!")), "[^A-Za-z0-9_.-]", "_"),
+          "^_+",
+          ""
+        ).as("stream")
+      )
+      .orderBy("event_id")
+      .limit(300)
+
+  def q13DateAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy("month")
+
+  def q14JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+
+  def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy("keeper")
+
+  def q16TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  def q17TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_tokens")).as("toks"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 4).as("mean_word_len")
+      )
+      .orderBy("source")
+
+  def q18Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("_us", unix_micros(col("ts").cast("timestamp"))) // ts is NTZ; session TZ is UTC
+      .withColumn("prev_us", lag(col("_us"), 1).over(w))
+      .withColumn("new_session", when(col("prev_us").isNull || col("_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .filter(col("user_id") < 200)
+      .orderBy("user_id")
+  }
+
+  // ======================= rows-only (no SQL oracle) ======================
+
+  def imgRollup(s: SparkSession): DataFrame = {
+    val imgs = SyntheticImages.images(s, 3000, 4).toDF()
+    new ValidationEngine(ImageConstraints.v1, EngineOptions(snapshotId = "entry", pixelChecks = Some(PixelChecks())))
+      .process(imgs)
+      .rollups
+      .orderBy("partition_id")
+  }
+
+  def imgViolations(s: SparkSession): DataFrame = {
+    val imgs = SyntheticImages.images(s, 3000, 4).toDF()
+    new ValidationEngine(ImageConstraints.v1, EngineOptions(snapshotId = "entry", pixelChecks = Some(PixelChecks())))
+      .process(imgs)
+      .violations
+      .groupBy("constraint_id", "field", "detail", "status")
+      .count()
+      .orderBy("constraint_id")
+  }
+
+  def imgUniqueness(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val p = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4).toDF())
+    Seq(
+      ("image_id", ColumnProfiler.uniqueness(p, "image_id", 0.97)),
+      ("phash", ColumnProfiler.uniqueness(p, "phash", 0.9))
+    ).map { case (c, r) => (c, math.round(r.ratio * 1000) / 1000.0, r.pass) }
+      .toDF("column", "ratio_3dp", "pass")
+      .orderBy("column")
+  }
+
+  def imgDrift(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4).toDF())
+    val cur = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4, drift = true).toDF())
+    graft.drift.Drift.report(base, cur).scores
+      .map(d => (d.metric, d.column, math.round(d.value * 100) / 100.0, d.pass))
+      .toDF("metric", "column", "value_2dp", "pass")
+      .orderBy("metric", "column")
+  }
+
+  def imgReferential(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val imgs = SyntheticImages.images(s, 3000, 4).toDF().drop("bytes")
+    val caps = SyntheticImages.captions(s, 3000, 4)
+    val r = Referential.check(imgs, caps)
+    Seq((r.orphanImages, r.danglingCaptions, r.pass)).toDF("orphan_images", "dangling_captions", "pass")
+  }
+
+  def imgFeatures(s: SparkSession): DataFrame = {
+    val imgs = SyntheticImages.images(s, 500, 4).toDF()
+    imgs
+      .select(col("image_id"), Multimodal.imageFeatures(col("bytes")).as("f"))
+      .select(col("f.ok").as("ok"))
+      .groupBy("ok")
+      .count()
+      .orderBy("ok")
+  }
+
+  def qMinhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashPairs(t(s, dir, "documents"), "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard_3dp"))
+      .orderBy("id_a", "id_b")
+
+  def qSimhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard_3dp"))
+      .orderBy("id_a", "id_b")
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(TextOps.langId(col("text")).as("predicted_lang"))
+      .count()
+      .orderBy("predicted_lang")
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .agg(count(lit(1)).as("distinct_fps"), sum(when(col("n") > 1, 1).otherwise(0)).as("dup_groups"))
+
+  def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    Similarity
+      .bruteForceTopK(embs.filter(col("vec_id") >= 5), queries, "vec_id", "vec_id", "embedding", 10)
+      .select("query_id", "rank", "data_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val ivf = Similarity.IvfIndex.fit(embs.filter(col("vec_id") >= 5), "vec_id", "embedding", numCentroids = 16)
+    ivf
+      .topK(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("query_id", "rank", "data_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    // plant exact duplicates (id+10^6) — real corpora have them; this corpus
+    // is synthetic-random so a 0.95-cosine pair may not occur naturally
+    val embs = base.unionByName(
+      base.filter(col("vec_id") < 20).select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+    )
+    Dedup
+      .embeddingPairs(embs, "vec_id", "embedding", dim = 64, threshold = 0.95, nbits = 10)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine_3dp"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic fake media blobs (no media files in testdata)
+    val media = (0L until 50L).map(i => (i, Array.tabulate[Byte](1000)(j => SyntheticImages.mix(i * 1000 + j).toByte))).toDF("media_id", "bytes")
+    Multimodal
+      .sampleFrames(media, "bytes", frameBytes = 100, stride = 2)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"), sum(pmod(col("frame_hash"), lit(1000000007L))).as("hash_sum"))
+      .orderBy("media_id")
+  }
+
+  // ================================ registry ==============================
+
+  val oracleBacked: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_rollup" -> (q01PricingRollup _),
+    "q02_filter_projection" -> (q02FilterProjection _),
+    "q03_default_fill" -> (q03DefaultFill _),
+    "q04_ref_orphans" -> (q04RefOrphans _),
+    "q05_ref_coverage" -> (q05RefCoverage _),
+    "q06_rollup" -> (q06Rollup _),
+    "q07_window_topk" -> (q07WindowTopK _),
+    "q08_distinct_exact" -> (q08DistinctExact _),
+    "q09_quantiles_exact" -> (q09QuantilesExact _),
+    "q10_salted_join_agg" -> (q10SaltedJoinAgg _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_string_sanitize" -> (q12StringSanitize _),
+    "q13_date_agg" -> (q13DateAgg _),
+    "q14_json_extract" -> (q14JsonExtract _),
+    "q15_dedup_exact" -> (q15DedupExact _),
+    "q16_token_count" -> (q16TokenCount _),
+    "q17_text_stats" -> (q17TextStats _),
+    "q18_sessionize" -> (q18Sessionize _)
+  )
+
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "img_rollup" -> ((s, _) => imgRollup(s)),
+    "img_violations" -> ((s, _) => imgViolations(s)),
+    "img_uniqueness" -> ((s, _) => imgUniqueness(s)),
+    "img_drift" -> ((s, _) => imgDrift(s)),
+    "img_referential" -> ((s, _) => imgReferential(s)),
+    "img_features" -> ((s, _) => imgFeatures(s)),
+    "q20_minhash_dedup" -> (qMinhashDedup _),
+    "q21_simhash_dedup" -> (qSimhashDedup _),
+    "q22_ngram_jaccard" -> (qNgramJaccard _),
+    "q23_lang_id" -> (qLangId _),
+    "q24_fingerprint" -> (qFingerprint _),
+    "q25_ann_brute_force" -> (qAnnBruteForce _),
+    "q26_ann_ivf" -> (qAnnIvf _),
+    "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
+    "q28_frame_sample" -> (qFrameSample _)
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = oracleBacked ++ rowsOnly
+
+  // =============================== oracles ================================
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_tm,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_filter_projection" ->
+      """SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents
+         FROM events WHERE event_type IN ('click','view','purchase') AND value > 50
+         ORDER BY event_id LIMIT 500""",
+    "q03_default_fill" ->
+      """SELECT doc_id, COALESCE(NULLIF(source,'src0'),'filled_default') AS src_filled
+         FROM documents ORDER BY doc_id""",
+    "q04_ref_orphans" ->
+      """SELECT 'lineitem_without_part' AS check, COUNT(*) AS n FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+         UNION ALL
+         SELECT 'orders_without_customer' AS check, COUNT(*) AS n FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         ORDER BY 1""",
+    "q05_ref_coverage" ->
+      """SELECT COUNT(*) AS customers_with_orders FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q06_rollup" ->
+      """SELECT COALESCE(o_orderpriority,'(all)') AS priority,
+                COALESCE(o_orderstatus,'(all)') AS status,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY 1,2""",
+    "q07_window_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, total_cents FROM (
+           SELECT o_orderpriority, o_orderkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rank
+           FROM orders) WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "q08_distinct_exact" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS d_part,
+                COUNT(DISTINCT l_suppkey) AS d_supp,
+                COUNT(DISTINCT (l_partkey, l_suppkey)) AS d_pair
+         FROM lineitem""",
+    "q09_quantiles_exact" ->
+      """SELECT round(quantile_cont(p_retailprice, 0.25), 2) AS p25,
+                round(quantile_cont(p_retailprice, 0.5), 2) AS p50,
+                round(quantile_cont(p_retailprice, 0.9), 2) AS p90
+         FROM part""",
+    "q10_salted_join_agg" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+                CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q11_set_ops" ->
+      """SELECT 'both' AS op, nk FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'customer_only' AS op, nk FROM
+           (SELECT DISTINCT c_nationkey AS nk FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+         ORDER BY 1,2""",
+    "q12_string_sanitize" ->
+      """SELECT event_id,
+                regexp_replace(regexp_replace(event_type || '/v1 beta!', '[^A-Za-z0-9_.-]', '_', 'g'), '^_+', '', 'g') AS stream
+         FROM events ORDER BY event_id LIMIT 300""",
+    "q13_date_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q14_json_extract" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 2""",
+    "q16_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q17_text_stats" ->
+      """WITH d AS (
+           SELECT source, length(text) AS n_chars,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+           FROM documents)
+         SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars, CAST(SUM(n_tokens) AS BIGINT) AS toks,
+                round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 4) AS mean_word_len
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "q18_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+                  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id,
+                CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM g WHERE user_id < 200 GROUP BY 1 ORDER BY 1"""
+  )
+}
