@@ -1,24 +1,109 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EngineOptions, ImageConstraints, ValidationEngine}
+import graft.gen.SyntheticImages
+
+/** Benchmark main (driver contract). Emits ONE JSON line.
+  *
+  * Headline metric (BASELINE.json): validated rows/sec — constraint-eval
+  * throughput of the full validate→triage→rollup pipeline over the
+  * image+caption table — measured at TWO parallelism levels (local[N/4] and
+  * local[N]) on the same pre-generated input, reporting
+  * `scaling_efficiency = (thr_high / thr_low) / (cores_high / cores_low)`
+  * (gate ≥ 0.8; sandbox protocol in BASELINE.md §3). Per-query timings for
+  * the SparkEntry operator inventory run at full cores on SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString) // keep ≥4N input splits
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The measured pipeline: constraint eval + triage + violation count +
+    * per-partition rollups (no pixel decode — the 10^12-scale cheap path
+    * whose plan never touches `bytes`). The stored table is unioned
+    * `repeat`× so the measured job is long enough (~10s at low cores) that
+    * fixed scheduling overhead doesn't masquerade as poor scaling.
+    */
+  private def runPipeline(spark: SparkSession, dataDir: String, repeat: Int): (Long, Long, Long) = {
+    val base = spark.read.parquet(dataDir)
+    val df = (1 to repeat).map(_ => base).reduce(_ union _)
+    val res = new ValidationEngine(ImageConstraints.v1, EngineOptions(snapshotId = "bench")).process(df)
+    val roll = res.rollups
+      .agg(sum("n_success"), sum("n_invalid"), sum("n_error"))
+      .collect()(0)
+    (roll.getLong(0), roll.getLong(1), roll.getLong(2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val sfName = sfDir.split("/").last
+    val sf = sfName.stripPrefix("sf").toDoubleOption.getOrElse(0.01)
+    val rows = math.max((sf * 5e6).toLong, 100000L)
+    val repeat = math.max((8000000L / rows).toInt, 1) // measured rows ≈ 8M
+    val effRows = rows * repeat
+    val dataDir = s"/tmp/graft_bench/images_n$rows"
+
+    // ---- one-time input generation (pooled content => bounded encode cost)
+    val gen = session(cpus)
+    if (!new java.io.File(dataDir + "/_SUCCESS").exists()) {
+      SyntheticImages
+        .images(gen, rows, math.max(cpus * 2, 64), drift = false, contentPool = 4096)
+        .toDF()
+        .write
+        .mode("overwrite")
+        .parquet(dataDir)
+    }
+    gen.stop()
+
+    // ---- scaling runs: same input, two parallelism levels
+    val coresLow = math.max(cpus / 4, 1)
+    def measure(cores: Int): (Double, Double) = { // (sec, rows/sec)
+      val s = session(cores)
+      try {
+        runPipeline(s, dataDir, repeat) // warm-up: codegen, JIT, page cache — same shape as the measured run
+        val t0 = System.nanoTime()
+        runPipeline(s, dataDir, repeat)
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, effRows / dt)
+      } finally s.stop()
+    }
+    val (secLow, thrLow) = measure(coresLow)
+    val (secHigh, thrHigh) = measure(cpus)
+    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / coresLow)
+
+    // ---- per-query timings at full cores on the driver's sf dir
+    val s = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + secLow + secHigh
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfName%s",""" +
+        f""""validate_rows":$effRows%d,"cores_low":$coresLow%d,"cores_high":$cpus%d,""" +
+        f""""validate_sec_low":$secLow%.3f,"validate_sec_high":$secHigh%.3f,""" +
+        f""""validate_rows_per_sec_low":$thrLow%.0f,"validate_rows_per_sec_high":$thrHigh%.0f,""" +
+        f""""scaling_efficiency":$efficiency%.3f}"""
+    )
   }
 }

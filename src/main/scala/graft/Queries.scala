@@ -258,20 +258,36 @@ object Queries {
       .orderBy("ok")
   }
 
+  /** Deterministic pair-op corpus: 20% doc sample + planted near-duplicate
+    * copies (suffix edit) of the first 20 docs. Sampling bounds the
+    * candidate-pair blowup of this tiny-vocab synthetic corpus (its docs
+    * are mutually FAR more shingle-similar than any real corpus, so
+    * all-pairs behavior is quadratic-pathological by construction); plants
+    * guarantee true near-dups exist at every scale.
+    */
+  private def pairCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    base.select(col("doc_id"), col("text")).unionByName(
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), concat(col("text"), lit(" xq")).as("text"))
+    )
+  }
+
   def qMinhashDedup(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .minhashPairs(t(s, dir, "documents"), "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8)
+      .minhashPairs(pairCorpus(s, dir), "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard_3dp"))
       .orderBy("id_a", "id_b")
 
   def qSimhashDedup(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .simhashPairs(pairCorpus(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      .ngramJaccardPairs(pairCorpus(s, dir), "doc_id", "text", shingleK = 3, minJaccard = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard_3dp"))
       .orderBy("id_a", "id_b")
 

@@ -158,19 +158,36 @@ object SyntheticImages {
     def danglingCaption(i: Long): Boolean = i % 223 == 9 // caption id not in images
   }
 
+  /** Encoded-content cache for pooled generation (bench scale): when
+    * contentPool > 0, dims/fmt/bytes/phash all derive from the pool index
+    * ci, so at most `pool` images are ever encoded per JVM regardless of
+    * row count. Determinism unaffected — the cache stores pure-function
+    * results.
+    */
+  private val contentCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Byte], Long, Int, Int, String)]()
+
+  private def contentOf(ci: Long, drift: Boolean, cache: Boolean): (Array[Byte], Long, Int, Int, String) = {
+    def compute(): (Array[Byte], Long, Int, Int, String) = {
+      val r = mixAt(ci, 3)
+      val dims = if (drift) dimsDrift else dimsBase
+      val w0 = dims(((r >>> 3) % dims.length).toInt.abs)
+      val h0 = dims(((r >>> 13) % dims.length).toInt.abs)
+      // fmt mix: base png-heavy, drift jpeg-heavy (reproducible drift in fmt PSI)
+      val fdraw = ((r >>> 23) & 0xff).toInt
+      val fmt0 = if (drift) { if (fdraw < 64) "png" else "jpeg" }
+      else { if (fdraw < 160) "png" else "jpeg" }
+      val img = renderImage(ci, w0, h0)
+      val bytes0 = if (fmt0 == "png") encodePng(img) else encodeJpeg(img)
+      (bytes0, averageHash(img), w0, h0, fmt0)
+    }
+    if (!cache) compute()
+    else contentCache.computeIfAbsent(ci * 2 + (if (drift) 1 else 0), _ => compute())
+  }
+
   def rowOf(i: Long, drift: Boolean, contentPool: Int): ImageRow = {
     val ci = if (contentPool > 0) i % contentPool else i
-    val r = mixAt(i, 3)
-    val dims = if (drift) dimsDrift else dimsBase
-    val w0 = dims(((r >>> 3) % dims.length).toInt.abs)
-    val h0 = dims(((r >>> 13) % dims.length).toInt.abs)
-    // fmt mix: base png-heavy, drift jpeg-heavy (reproducible drift in fmt PSI)
-    val fdraw = ((r >>> 23) & 0xff).toInt
-    val fmt0 = if (drift) { if (fdraw < 64) "png" else "jpeg" }
-    else { if (fdraw < 160) "png" else "jpeg" }
-    val img = renderImage(ci, w0, h0)
-    val bytes0 = if (fmt0 == "png") encodePng(img) else encodeJpeg(img)
-    val phash0 = averageHash(img)
+    val (bytes0, phash0, w0, h0, fmt0) = contentOf(ci, drift, cache = contentPool > 0)
     val caption0 = {
       val words = Array("ochre", "ridge", "harbor", "lantern", "mosaic", "drift", "meadow", "copper", "quiet", "signal")
       val k = mixAt(i, 4)

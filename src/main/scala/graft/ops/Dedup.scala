@@ -50,9 +50,14 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
+    // Materialize signatures before the self-join: both join sides (and the
+    // verify re-joins) would otherwise re-evaluate the 64-lane minhash
+    // expression tree per reference — measured 8x slowdown. At cluster
+    // scale this is "write the signature table once", the standard LSH shape.
     val sigs = df
       .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleK).as("sh"))
       .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = keys
       .as("a")
@@ -72,7 +77,9 @@ object Dedup {
     * Hamming distance ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = sigs.select(
       col("id"),
       col("sig"),
@@ -100,7 +107,10 @@ object Dedup {
     * exact cosine verification ≥ threshold.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
+    val sigs = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs
       .as("a")
       .join(sigs.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
