@@ -16,9 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Contract: a single real parquet FILE at outDir/<name>.parquet
+        // (readable by pyarrow.read_table and duckdb read_parquet alike).
+        val tmp = s"$outDir/_tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
