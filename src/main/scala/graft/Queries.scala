@@ -199,6 +199,43 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Array fns + generator: split → explode → re-agg (SURVEY §2.2 array/map). */
+  def q19ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("token")
+
+  /** errorsText fold parity (O22, lib/error.js:42-47): per-group sorted
+    * distinct values rendered `'<x>' seen` and joined with ", " — the exact
+    * transform+concat_ws shape the violation reporter uses.
+    */
+  def q29ErrorsText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        concat_ws(
+          ", ",
+          transform(array_sort(collect_set(col("lang"))), l => concat(lit("'"), l, lit("' seen")))
+        ).as("errors_text")
+      )
+      .orderBy("source")
+
+  /** CUBE grouping sets over events (SURVEY §2.2 distinct/cube/rollup). */
+  def q30Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), (col("user_id") % 4).as("user_bucket"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_bucket").cast("string"), lit("(all)")).as("user_bucket"),
+        col("n"),
+        col("value_cents")
+      )
+      .orderBy("event_type", "user_bucket")
+
   // ======================= rows-only (no SQL oracle) ======================
 
   def imgRollup(s: SparkSession): DataFrame = {
@@ -367,7 +404,10 @@ object Queries {
     "q15_dedup_exact" -> (q15DedupExact _),
     "q16_token_count" -> (q16TokenCount _),
     "q17_text_stats" -> (q17TextStats _),
-    "q18_sessionize" -> (q18Sessionize _)
+    "q18_sessionize" -> (q18Sessionize _),
+    "q19_explode_tokens" -> (q19ExplodeTokens _),
+    "q29_errors_text" -> (q29ErrorsText _),
+    "q30_cube" -> (q30Cube _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -495,6 +535,22 @@ object Queries {
          SELECT user_id,
                 CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 COUNT(*) AS n_events
-         FROM g WHERE user_id < 200 GROUP BY 1 ORDER BY 1"""
+         FROM g WHERE user_id < 200 GROUP BY 1 ORDER BY 1""",
+    "q19_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+         WHERE token <> '' GROUP BY 1 ORDER BY 1""",
+    "q29_errors_text" ->
+      """SELECT source,
+                array_to_string(list_transform(list_sort(list(DISTINCT lang)), l -> '''' || l || ''' seen'), ', ') AS errors_text
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q30_cube" ->
+      """SELECT COALESCE(event_type, '(all)') AS event_type,
+                COALESCE(CAST(user_bucket AS VARCHAR), '(all)') AS user_bucket,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+         GROUP BY CUBE(event_type, user_bucket)
+         ORDER BY 1, 2"""
   )
 }
