@@ -166,13 +166,27 @@ object Compiler {
     array_compact(array(cells: _*))
   }
 
+  /** TRUE ⇔ the row passes every check — a pure boolean conjunction with no
+    * array/struct allocation. Kept separate from [[violationsArray]] so the
+    * pass/fail decision (evaluated for EVERY row) stays allocation-free and
+    * the violation details (structs) materialize only under a
+    * `status = invalid` filter — i.e. for the ~1% failing minority. At
+    * 10^12 rows this is the difference between a scan-speed hot path and
+    * one that allocates a struct array per row.
+    */
+  def allPass(cs: ConstraintSet): Column =
+    cs.checks.map(_.passes).reduce(_ && _)
+
   /** Apply default fills (row REWRITE, not read-only) then compute the
     * violations array — the single per-partition pass of the north_star.
     */
   def run(df: DataFrame, cs: ConstraintSet, violationsCol: String = "violations"): DataFrame = {
     val problems = cs.lint
     require(problems.isEmpty, s"insecure constraint set: ${problems.mkString("; ")}")
-    val filled = cs.fills.foldLeft(df)((d, f) => d.withColumn(f.field, f(col(f.field))))
+    val filled = applyFills(df, cs)
     filled.withColumn(violationsCol, violationsArray(cs))
   }
+
+  def applyFills(df: DataFrame, cs: ConstraintSet): DataFrame =
+    cs.fills.foldLeft(df)((d, f) => d.withColumn(f.field, f(col(f.field))))
 }

@@ -103,14 +103,25 @@ final class ValidationEngine(cs: ConstraintSet, opts: EngineOptions = EngineOpti
     // Triage: error > invalid > success (/root/reference/lib/eventgate.js:175-207:
     // non-ValidationError beats ValidationError because validation is never
     // reached/trusted when the engine itself failed on the row).
-    val annotated = Compiler
-      .run(decoded, fullCs)
+    //
+    // `status` derives from the allocation-free boolean conjunction, NOT from
+    // size(violations): the struct-array only materializes below the
+    // status=invalid filter, so the success-majority path never allocates.
+    // allErrors semantics are untouched — every failing row still reports
+    // EVERY violated constraint (Compiler.violationsArray has no
+    // short-circuit), it just does so only for rows that need details.
+    val problems = fullCs.lint
+    require(problems.isEmpty, s"insecure constraint set: ${problems.mkString("; ")}")
+    val filled = Compiler.applyFills(decoded, fullCs)
+    val annotated = filled
       .withColumn(
         "status",
         when(col("engine_error").isNotNull, Status.Error)
-          .when(size(col("violations")) > 0, Status.Invalid)
+          .when(!Compiler.allPass(fullCs), Status.Invalid)
           .otherwise(Status.Success)
       )
+      .withColumn("violations", when(col("status") === Status.Invalid, Compiler.violationsArray(fullCs))
+        .otherwise(array().cast("array<struct<constraint_id:string,field:string,detail:string>>")))
 
     val valid = annotated.filter(col("status") === Status.Success).select(inputCols.map(col): _*)
 

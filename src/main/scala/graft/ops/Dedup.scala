@@ -55,7 +55,7 @@ object Dedup {
     // expression tree per reference — measured 8x slowdown. At cluster
     // scale this is "write the signature table once", the standard LSH shape.
     val sigs = df
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"), TextOps.hashedShingles(col(textCol), shingleK).as("sh"))
       .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))

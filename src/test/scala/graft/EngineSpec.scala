@@ -56,8 +56,11 @@ class EngineSpec extends SparkSpec {
         }
       }
     }
+    // error preempts validation detail: the reference's non-ValidationError
+    // path never reports a violations list (lib/eventgate.js:199-205 — the
+    // catch produces a bare error status), so error rows carry an empty set.
     val status = if (isError) Status.Error else if (v.nonEmpty) Status.Invalid else Status.Success
-    (status, v.toSet)
+    (status, if (isError) Set.empty[String] else v.toSet)
   }
 
   private def runEngine(n: Long, decode: Boolean) = {
