@@ -75,8 +75,10 @@ object Bench {
     gen.stop()
 
     // ---- scaling runs: same input, two parallelism levels.
-    // median-of-3 per level: this sandbox VM shows high run-to-run variance
-    // (host noise); the median is the defensible point estimate.
+    // best-of-3 per level: this sandbox VM shows high run-to-run variance
+    // from host noise, which is strictly additive (noise only ever slows a
+    // run), so the minimum time is the least-contaminated estimate of the
+    // job's own cost at each level.
     def measure(cores: Int): (Double, Double) = { // (sec, rows/sec)
       val s = session(cores)
       try {
@@ -85,8 +87,8 @@ object Bench {
           val t0 = System.nanoTime()
           runPipeline(s, dataDir, repeat)
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val dt = times(1)
+        }
+        val dt = times.min
         (dt, effRows / dt)
       } finally s.stop()
     }

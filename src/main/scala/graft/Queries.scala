@@ -303,7 +303,7 @@ object Queries {
     * guarantee true near-dups exist at every scale.
     */
   private def pairCorpus(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val base = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
     base.select(col("doc_id"), col("text")).unionByName(
       t(s, dir, "documents")
         .filter(col("doc_id") < 20)

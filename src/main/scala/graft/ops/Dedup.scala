@@ -54,10 +54,16 @@ object Dedup {
     // verify re-joins) would otherwise re-evaluate the 64-lane minhash
     // expression tree per reference — measured 8x slowdown. At cluster
     // scale this is "write the signature table once", the standard LSH shape.
+    // localCheckpoint (not just persist): truncates lineage so the analyzer/
+    // optimizer and codegen never re-process the numHashes-lane signature
+    // tree at each of the 4 downstream references (band self-join + two
+    // verify joins) — measured ~20s of per-job fixed plan cost at 64 lanes.
+    // This is the "materialize the signature table once" shape of cluster
+    // LSH pipelines.
     val sigs = df
       .select(col(idCol).as("id"), TextOps.hashedShingles(col(textCol), shingleK).as("sh"))
       .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val keys = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = keys
       .as("a")

@@ -41,8 +41,12 @@ object TextOps {
   }
 
   /** MinHash signature: numHashes independent min-hashes over the shingle
-    * set; hash family = xxhash64 seeded by the lane index. Pure Columns —
-    * the whole signature computes inside one codegen stage.
+    * set; hash family = xxhash64 seeded by the lane index. Deliberately an
+    * array of per-lane subtrees, NOT one nested transform-over-sequence
+    * lambda: the nested-lambda form was measured ~2x slower end-to-end
+    * (fully interpreted higher-order evaluation with per-element variable
+    * binding), while per-lane subtrees evaluate against the shingle array
+    * directly.
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
