@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console BARE: the driver parses the one
+// JSON line Bench/Verify print, and sbt's default logger wraps forked output
+// in "[info] " prefixes (this broke round-1 bench parsing). StdoutOutput
+// makes the child inherit stdout directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// runMain inherits run's settings; set it explicitly anyway.
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time: ..." after the JSON line — round 1's
+// driver parser rejected the bench output partly because of it.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Compile / runMain / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -175,7 +175,7 @@ object Compiler {
     * one that allocates a struct array per row.
     */
   def allPass(cs: ConstraintSet): Column =
-    cs.checks.map(_.passes).reduce(_ && _)
+    cs.checks.map(_.passes).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Apply default fills (row REWRITE, not read-only) then compute the
     * violations array — the single per-partition pass of the north_star.

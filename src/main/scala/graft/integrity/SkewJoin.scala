@@ -64,10 +64,15 @@ object SkewJoin {
     val rightCold = right.filter(col(key).isNull || !col(key).isin(hotKeys: _*))
     val rightHot = right.filter(hot)
 
-    // Deterministic, uniformly-spread salt: hash of the key plus a
-    // row-local counter-free component. xxhash64 over all left columns
-    // spreads identical-key rows across salts without rand().
-    val saltExpr = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int")
+    // Deterministic, uniformly-spread salt: hash of the key plus
+    // monotonically_increasing_id (partition id in the high bits + row
+    // counter — cheap, narrow, no rand()). Hashing only these keeps wide
+    // columns (e.g. multi-KB `bytes`) out of the salt expression, so column
+    // pruning survives when the caller projects narrow columns after the
+    // join (plan-asserted in IntegritySpec), and identical-key rows inside
+    // one input partition still spread across all saltFactor reducers.
+    val saltExpr =
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)).cast("int")
     val lh = leftHot.withColumn("_salt", saltExpr)
     val rh = rightHot
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Max members per LSH bucket before the bucket is dropped from candidate
+    * generation. A degenerate band key (e.g. every sub-k-char doc shingles to
+    * the empty set → identical signature) would otherwise make one bucket's
+    * self-join quadratic — the standard corpus-scale guard is to cap and log.
+    * Dropping a bucket trades recall on that pathological key for bounded
+    * work; pairs inside healthy buckets are unaffected.
+    */
+  val DefaultMaxBucket = 500
+
+  /** Keep only rows in buckets of size ≤ maxBucket. The window count
+    * partitions by the bucket key — the SAME partitioning the downstream
+    * band self-join shuffles on, so Catalyst reuses the exchange rather than
+    * adding one. Rows dropped are observable as `lsh_dropped_rows` via
+    * Dataset.observe (no extra job; surfaces through QueryExecutionListener
+    * at cluster scale).
+    */
+  private def capBuckets(keys: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    keys
+      .withColumn("_bn", count(lit(1)).over(w))
+      .observe("lsh_buckets", sum(when(col("_bn") > maxBucket, 1L).otherwise(0L)).as("lsh_dropped_rows"))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+  }
+
+  /** Materialize an LSH signature table to storage and read it back — the
+    * cluster-scale "write the signature table once" shape. The write both
+    * (a) truncates lineage so the analyzer/codegen never re-process the
+    * numHashes-lane signature expression tree at each of its 4 downstream
+    * references (measured ~20s of fixed plan cost at 64 lanes when inlined)
+    * and (b) survives executor loss, unlike localCheckpoint's
+    * executor-pinned blocks (round-1 advisory).
+    */
+  private def materializeSigs(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_lsh_$tag").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "sigs").getAbsolutePath
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Exact dedup: keep the lowest-`idCol` row per distinct `textCol`.
     * Shuffles only (hash, id); survivors re-join the full rows by id.
     */
@@ -46,25 +88,18 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       numBands: Int = 16,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rows = numHashes / numBands
-    // Materialize signatures before the self-join: both join sides (and the
-    // verify re-joins) would otherwise re-evaluate the 64-lane minhash
-    // expression tree per reference — measured 8x slowdown. At cluster
-    // scale this is "write the signature table once", the standard LSH shape.
-    // localCheckpoint (not just persist): truncates lineage so the analyzer/
-    // optimizer and codegen never re-process the numHashes-lane signature
-    // tree at each of the 4 downstream references (band self-join + two
-    // verify joins) — measured ~20s of per-job fixed plan cost at 64 lanes.
-    // This is the "materialize the signature table once" shape of cluster
-    // LSH pipelines.
-    val sigs = df
-      .select(col(idCol).as("id"), TextOps.hashedShingles(col(textCol), shingleK).as("sh"))
-      .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows))
-      .localCheckpoint()
-    val keys = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val sigs = materializeSigs(
+      df.select(col(idCol).as("id"), TextOps.hashedShingles(col(textCol), shingleK).as("sh"))
+        .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows)),
+      "minhash")
+    val keys = capBuckets(
+      sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), maxBucket)
     val cand = keys
       .as("a")
       .join(keys.as("b"), col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
@@ -82,16 +117,18 @@ object Dedup {
   /** SimHash near-duplicate pairs: 4×16-bit band buckets, verified by
     * Hamming distance ≤ maxHamming.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = df
       .select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = sigs.select(
-      col("id"),
-      col("sig"),
-      posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band_idx", "band_key"))
-    )
+    val keys = capBuckets(
+      sigs.select(
+        col("id"),
+        col("sig"),
+        posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_idx", "band_key"))
+      ),
+      Seq("band_idx", "band_key"), maxBucket)
     keys
       .as("a")
       .join(keys.as("b"), col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
@@ -112,11 +149,12 @@ object Dedup {
   /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
     * exact cosine verification ≥ threshold.
     */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      Seq("bucket"), maxBucket)
     sigs
       .as("a")
       .join(sigs.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
