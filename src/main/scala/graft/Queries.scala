@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{EngineOptions, ImageConstraints, PixelChecks, ValidationEngine}
+import graft.constraint.{ConstraintSet, Maximum, MinLength, NonNull}
+import graft.engine.{ConstraintRegistry, EngineOptions, ImageConstraints, MultiStreamEngine, PixelChecks, ValidationEngine}
 import graft.gen.SyntheticImages
 import graft.integrity.{Referential, SkewJoin}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
@@ -236,6 +237,30 @@ object Queries {
       )
       .orderBy("event_type", "user_bucket")
 
+  /** Per-stream / per-schema dispatch (O9, the reference's core semantics:
+    * each event declares its schema, validators resolve per event,
+    * /root/reference/lib/EventValidator.js:221-258). Heterogeneous batch:
+    * click+purchase route to one compiled set (dual-key cache analog),
+    * view to another version, signup/error to no set ⇒ schema-load error
+    * status (/root/reference/test/spec.test.yaml:159-174). One codegen'd
+    * pass; output = per-stream triage rollup.
+    */
+  def q31MultiStream(s: SparkSession, dir: String): DataFrame = {
+    val clickSet = ConstraintSet("click.v1", Seq.empty, Seq(NonNull("user_id"), Maximum("value", 250)))
+    val viewSet = ConstraintSet("view.v1", Seq.empty, Seq(NonNull("user_id"), MinLength("props", 9)))
+    val reg = ConstraintRegistry(
+      Seq(clickSet, viewSet),
+      routes = Map("click" -> "click.v1", "purchase" -> "click.v1", "view" -> "view.v1")
+    )
+    val ev = t(s, dir, "events").withColumn("stream", col("event_type"))
+    new MultiStreamEngine(reg, EngineOptions(snapshotId = "q31", idField = "event_id"))
+      .process(ev)
+      .rollups
+      .groupBy("stream")
+      .agg(sum("n_success").as("n_success"), sum("n_invalid").as("n_invalid"), sum("n_error").as("n_error"))
+      .orderBy("stream")
+  }
+
   // ======================= rows-only (no SQL oracle) ======================
 
   def imgRollup(s: SparkSession): DataFrame = {
@@ -334,9 +359,14 @@ object Queries {
       .count()
       .orderBy("predicted_lang")
 
+  /** Normalization fingerprint (lower + whitespace-collapse + md5) — the
+    * DuckDB-expressible face of document fingerprinting; the edit-robust
+    * min-shingle-hash variant ([[TextOps.fingerprint]]) is differential-
+    * tested in OpsSpec (xxhash64 has no DuckDB equivalent).
+    */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .agg(count(lit(1)).as("distinct_fps"), sum(when(col("n") > 1, 1).otherwise(0)).as("dup_groups"))
@@ -373,14 +403,23 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Frame-sampling plumbing (one media row → N frame rows) over document
+    * text as the media payload — char-addressed so DuckDB (`substring`,
+    * char-based) and Spark (`substr` on string, char-based) agree; the
+    * binary-payload path of [[Multimodal.sampleFrames]] is exercised in
+    * MultimodalSpec (DuckDB has no BLOB substring).
+    */
   def qFrameSample(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // deterministic fake media blobs (no media files in testdata)
-    val media = (0L until 50L).map(i => (i, Array.tabulate[Byte](1000)(j => SyntheticImages.mix(i * 1000 + j).toByte))).toDF("media_id", "bytes")
+    val media = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), col("text"))
     Multimodal
-      .sampleFrames(media, "bytes", frameBytes = 100, stride = 2)
+      .sampleFrames(media, "text", frameBytes = 64, stride = 2)
       .groupBy("media_id")
-      .agg(count(lit(1)).as("n_frames"), sum(pmod(col("frame_hash"), lit(1000000007L))).as("hash_sum"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("frame_chars"),
+        max(md5(col("frame").cast("binary"))).as("max_frame_md5")
+      )
       .orderBy("media_id")
   }
 
@@ -406,8 +445,12 @@ object Queries {
     "q17_text_stats" -> (q17TextStats _),
     "q18_sessionize" -> (q18Sessionize _),
     "q19_explode_tokens" -> (q19ExplodeTokens _),
+    "q23_lang_id" -> (qLangId _),
+    "q24_fingerprint" -> (qFingerprint _),
+    "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
-    "q30_cube" -> (q30Cube _)
+    "q30_cube" -> (q30Cube _),
+    "q31_multi_stream" -> (q31MultiStream _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,12 +463,9 @@ object Queries {
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
     "q22_ngram_jaccard" -> (qNgramJaccard _),
-    "q23_lang_id" -> (qLangId _),
-    "q24_fingerprint" -> (qFingerprint _),
     "q25_ann_brute_force" -> (qAnnBruteForce _),
     "q26_ann_ivf" -> (qAnnIvf _),
-    "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
-    "q28_frame_sample" -> (qFrameSample _)
+    "q27_embedding_near_dup" -> (qEmbeddingNearDup _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = oracleBacked ++ rowsOnly
@@ -540,6 +580,51 @@ object Queries {
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
          WHERE token <> '' GROUP BY 1 ORDER BY 1""",
+    "q23_lang_id" ->
+      """WITH d AS (
+           SELECT text,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT text, cjk,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it','was','for'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','eine','mit','sich'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','que','dans','pour','pas'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('el','la','los','que','es','una','por','para','como','más'))) AS s_es
+           FROM d)
+         SELECT CASE WHEN length(text) > 0 AND CAST(cjk AS DOUBLE)/length(text) > 0.2 THEN 'zh'
+                     WHEN greatest(s_en,s_de,s_fr,s_es) > 0 THEN
+                       CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                            WHEN s_en >= s_de THEN 'en'
+                            ELSE 'de' END
+                     ELSE 'und' END AS predicted_lang,
+                COUNT(*) AS count
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q24_fingerprint" ->
+      """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),
+         g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper FROM f GROUP BY 1)
+         SELECT COUNT(*) AS distinct_fps,
+                CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups FROM g""",
+    "q28_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, CAST(floor(length(text)/64) AS INT) AS nf
+                    FROM documents WHERE text IS NOT NULL),
+         e AS (SELECT media_id, text, unnest(generate_series(0, greatest(nf-1, 0), 2)) AS gs FROM m),
+         f AS (SELECT media_id, substring(text, CAST(gs*64+1 AS BIGINT), 64) AS frame FROM e)
+         SELECT media_id, COUNT(*) AS n_frames, CAST(SUM(length(frame)) AS BIGINT) AS frame_chars,
+                MAX(md5(frame)) AS max_frame_md5
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "q31_multi_stream" ->
+      """SELECT event_type AS stream,
+                CAST(SUM(CASE WHEN event_type IN ('click','purchase') AND user_id IS NOT NULL AND (value IS NULL OR value <= 250) THEN 1
+                              WHEN event_type = 'view' AND user_id IS NOT NULL AND (props IS NULL OR length(props) >= 9) THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_success,
+                CAST(SUM(CASE WHEN event_type IN ('click','purchase') AND NOT (user_id IS NOT NULL AND (value IS NULL OR value <= 250)) THEN 1
+                              WHEN event_type = 'view' AND NOT (user_id IS NOT NULL AND (props IS NULL OR length(props) >= 9)) THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_invalid,
+                CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','purchase','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q29_errors_text" ->
       """SELECT source,
                 array_to_string(list_transform(list_sort(list(DISTINCT lang)), l -> '''' || l || ''' seen'), ', ') AS errors_text

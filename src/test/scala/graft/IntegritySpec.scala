@@ -58,6 +58,21 @@ class IntegritySpec extends SparkSpec {
     assert(plain.sameElements(salted))
   }
 
+  test("salted join salt never drags wide columns into the scan (bytes pruned)") {
+    // The salt hashes only (key, monotonically_increasing_id); joining image
+    // tables on phash with a narrow projection must leave `bytes` out of the
+    // parquet ReadSchema — at 10^12 rows bytes is ~99% of table width.
+    val dir = java.nio.file.Files.createTempDirectory("graft_saltprune").toString
+    SyntheticImages.images(spark, 500, 2).toDF().write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val left = full.select("phash", "w")
+    val right = full.select(col("phash"), col("fmt").as("fmt_r")).distinct()
+    val j = SkewJoin.saltedJoin(left, right, "phash", "inner", saltFactor = 4, hotKeys = SyntheticImages.hotPhashes.toSeq)
+    val scanLines = j.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scanLines.nonEmpty && !scanLines.contains("bytes"), s"bytes not pruned:\n$scanLines")
+  }
+
   test("salted join with auto-detection matches plain join on skewed data") {
     val left = imgs.select("image_id", "phash")
     val right = imgs.groupBy("phash").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.constraint._
+import graft.engine._
+import graft.model.Status
+
+/** Per-stream / per-schema dispatch — the reference's heterogeneous-batch
+  * semantics (every event declares its schema; validators resolve per event
+  * and coexist without conflict):
+  * /root/reference/lib/factories/default-eventgate.js:132-152,
+  * /root/reference/lib/EventValidator.js:221-258,
+  * /root/reference/test/features/lib/EventValidator.js:130-146 (dual-key
+  * cache) and :187-208 (two instances don't conflict).
+  */
+class MultiStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val strictSet = ConstraintSet(
+    "doc/2.0.0",
+    fills = Seq(DefaultFill("source", "filled-v2")),
+    checks = Seq(NonNull("doc_id"), MinLength("text", 10), MaxLength("text", 100))
+  )
+  private val laxSet = ConstraintSet(
+    "doc/1.0.0",
+    fills = Seq(DefaultFill("source", "filled-v1")),
+    checks = Seq(NonNull("doc_id"))
+  )
+  private val registry = ConstraintRegistry(
+    Seq(strictSet, laxSet),
+    routes = Map(
+      "strict" -> "doc/2.0.0",
+      "strict-alias" -> "doc/2.0.0", // dual-key cache: two URIs, one validator
+      "lax" -> "doc/1.0.0"
+    )
+  )
+
+  // (doc_id, text, source, stream): "short" fails MinLength(10) only under strict
+  private def batch = Seq(
+    ("a", "short", null, "strict"),
+    ("b", "short", null, "lax"),
+    ("c", "a perfectly long enough text", "src", "strict"),
+    ("d", "a perfectly long enough text", "src", "lax"),
+    (null, "whatever text here", "src", "strict"),
+    ("e", "short", null, "strict-alias"),
+    ("f", "some text", null, "unregistered.stream")
+  ).toDF("doc_id", "text", "source", "stream")
+
+  private val engine = new MultiStreamEngine(registry, EngineOptions(snapshotId = "ms", idField = "doc_id"))
+
+  test("two coexisting constraint-set versions judge one mixed batch independently") {
+    val res = engine.process(batch)
+    val status = res.annotated.select("doc_id", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(status("a") == Status.Invalid) // strict: text too short
+    assert(status("b") == Status.Success) // lax: same text passes
+    assert(status("c") == Status.Success)
+    assert(status("d") == Status.Success)
+    assert(status(null) == Status.Invalid) // NonNull fails under both sets
+    assert(status("f") == Status.Error) // unregistered stream
+
+    // differential: dispatch == running each set's single-stream engine on its slice
+    for ((stream, version) <- Seq("strict" -> strictSet, "lax" -> laxSet)) {
+      val slice = batch.filter(col("stream") === stream)
+      val single = new ValidationEngine(version, EngineOptions(snapshotId = "ms", idField = "doc_id"))
+        .process(slice)
+      val multiSlice = res.annotated.filter(col("stream") === stream)
+      assert(
+        multiSlice.filter(col("status") === Status.Success).count() ==
+          single.valid.count(),
+        s"stream $stream valid mismatch"
+      )
+      val vioMulti = res.violations.filter(col("stream") === stream)
+        .select("row_id", "constraint_id").collect().map(_.toString).sorted.toSeq
+      val vioSingle = single.violations
+        .select(col("image_id").as("row_id"), col("constraint_id")).collect().map(_.toString).sorted.toSeq
+      assert(vioMulti == vioSingle, s"stream $stream violations mismatch")
+    }
+  }
+
+  test("dual-key route: alias and primary key dispatch to the SAME compiled set") {
+    val res = engine.process(batch)
+    val a = res.annotated.filter(col("doc_id") === "a").select("status", "violations").collect()(0)
+    val e = res.annotated.filter(col("doc_id") === "e").select("status", "violations").collect()(0)
+    assert(a.getString(0) == e.getString(0))
+    assert(a.getSeq[Any](1).map(_.toString) == e.getSeq[Any](1).map(_.toString))
+    // and the violation rows carry the canonical version, not the alias
+    val v = res.violations.filter(col("row_id") === "e").select("constraint_version").collect()
+    assert(v.nonEmpty && v.forall(_.getString(0) == "doc/2.0.0"))
+  }
+
+  test("unregistered stream is a schema-LOAD error, not invalid (spec.test.yaml:159-174)") {
+    val res = engine.process(batch)
+    val f = res.violations.filter(col("row_id") === "f").collect()
+    assert(f.length == 1)
+    assert(f(0).getAs[String]("status") == Status.Error)
+    assert(f(0).getAs[String]("detail").startsWith("EventSchemaLoadError"))
+    assert(f(0).getAs[String]("detail").contains("unregistered.stream"))
+    // error rows never report constraint violations (lib/eventgate.js:199-205)
+    assert(f(0).getAs[String]("constraint_id") == "engine_error")
+  }
+
+  test("default fills dispatch per set (useDefaults per schema)") {
+    val res = engine.process(batch)
+    val filled = res.annotated.select("doc_id", "source").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(filled("a") == "filled-v2") // strict's default
+    assert(filled("b") == "filled-v1") // lax's default
+    assert(filled("c") == "src") // present value untouched
+    assert(filled("f") == null) // no set ⇒ no fill
+  }
+
+  test("rollups per stream partition the batch; writeByStream routes output dirs") {
+    val res = engine.process(batch)
+    val total = res.rollups.agg(sum(col("n_success") + col("n_invalid") + col("n_error"))).collect()(0).getLong(0)
+    assert(total == batch.count())
+    val streams = res.rollups.select("stream").distinct().collect().map(_.getString(0)).toSet
+    assert(streams == Set("strict", "strict-alias", "lax", "unregistered.stream"))
+
+    val out = Files.createTempDirectory("graft_ms").toString
+    engine.writeByStream(res.valid, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("stream=lax") && dirs.contains("stream=strict"))
+    assert(!dirs.contains("stream=unregistered.stream")) // no valid rows there
+  }
+
+  test("stream extraction + sanitization parity (default-eventgate.js:132-152)") {
+    val df = Seq(
+      (Some("explicit_stream"), "/cool/schema/uri"),
+      (None, "/cool/schema/uri"),
+      (None, "$weird!!uri")
+    ).toDF("stream_field", "schema_uri")
+    val got = df.select(
+      ConstraintRegistry.extractStream(Some(col("stream_field")), col("schema_uri")).as("s")
+    ).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("explicit_stream", "cool_schema_uri", "weird__uri"))
+  }
+}

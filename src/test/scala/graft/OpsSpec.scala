@@ -82,6 +82,27 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall@0.8=$recall missing=${high.diff(found)}")
   }
 
+  test("degenerate LSH bucket is capped: pair count bounded, healthy pairs kept") {
+    // 400 identical docs shingle to ONE signature → one band bucket of 400
+    // members → 79,800 candidate pairs uncapped. The cap drops the bucket.
+    val degenerate = (0 until 400).map(i => (i.toLong, "aaaa bbbb cccc dddd eeee"))
+    val healthy = Seq(
+      (500L, "the quick brown fox jumps over the lazy dog"),
+      (501L, "the quick brown fox jumps over the lazy dog x")
+    )
+    val corpus = (degenerate ++ healthy).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashPairs(corpus, "doc_id", "text", shingleK = 5, numHashes = 32, numBands = 16, threshold = 0.7, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((500L, 501L)), "healthy planted pair lost to the cap")
+    assert(pairs.size <= 100, s"degenerate bucket not capped: ${pairs.size} pairs")
+    // and the same corpus with a generous cap does explode — the cap is load-bearing
+    val uncapped = Dedup
+      .minhashPairs(corpus, "doc_id", "text", shingleK = 5, numHashes = 32, numBands = 16, threshold = 0.7, maxBucket = 1000)
+      .count()
+    assert(uncapped > 50000L, s"expected quadratic blowup without cap, got $uncapped")
+  }
+
   test("simhash: identical → distance 0; planted near-dups found") {
     val base = docs.select(col("doc_id"), col("text"))
     val nearDups = base
