@@ -18,8 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract (/root/reference/lib/factories/default-eventgate.js:254-257):
   * no partial batch is ever observable.
   *
+  * Growth discipline (the 10^12-row argument): `partitionsDelta` and
+  * `tables` record only what THIS commit added — full views are
+  * reconstructed by walking the parent chain ([[SnapshotLog.chain]]), so
+  * total manifest bytes over P partitions are O(P), not O(P²) as a
+  * cumulative-list design would be. Only the fixed-key maps (`metrics`
+  * counters and merged `sketches`) are cumulative: they are O(1) per
+  * manifest and needing the latest value without a chain walk is the point.
+  *
   * Lineage per north_rule: source snapshot id (parent), partition spec,
-  * constraint-set version, committed partition set, metrics.
+  * constraint-set version, committed partition set, metrics (including
+  * per-phase duration totals).
   */
 final case class Manifest(
     snapshotId: String,
@@ -27,11 +36,15 @@ final case class Manifest(
     parentId: Option[String],
     constraintVersion: String,
     partitionSpec: String,
-    committedPartitions: Seq[Int],
+    /** partitions committed by THIS manifest (delta, not cumulative). */
+    partitionsDelta: Seq[Int],
     complete: Boolean,
-    tables: Map[String, Seq[String]], // logical table -> data paths
+    /** logical table -> data paths ADDED by this commit (delta). */
+    tables: Map[String, Seq[String]],
+    /** cumulative counters (status counts, duration totals) — fixed key set. */
     metrics: Map[String, Long],
-    sketches: Map[String, String], // name -> base64(serialized sketch)
+    /** cumulative merged column-stat sketches: name -> base64(bytes). */
+    sketches: Map[String, String],
     createdAtMs: Long
 )
 
@@ -49,8 +62,8 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   private def fs: FileSystem = new Path(root).getFileSystem(conf)
   private def snapDir = new Path(root, "snapshots")
 
-  def dataDir(partition: Int, table: String): String =
-    new Path(root, s"data/p=$partition/$table").toString
+  def dataDir(tag: String, table: String): String =
+    new Path(root, s"data/p=$tag/$table").toString
 
   private def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
 
@@ -78,6 +91,25 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     } finally in.close()
   }
 
+  /** Manifest and all ancestors, newest first. Chain length = number of
+    * commits — metadata-sized reads, never data reads.
+    */
+  def chain(m: Manifest): Iterator[Manifest] =
+    Iterator.iterate(Option(m)) {
+      case Some(cur) => cur.parentId.map(id => read(id.stripPrefix("snap-").toLong))
+      case None      => None
+    }.takeWhile(_.isDefined).map(_.get)
+
+  /** Full committed-partition set as of `m` (union of deltas up the chain) —
+    * the resume checkpoint set of the north_rule.
+    */
+  def committedPartitions(m: Manifest): Set[Int] =
+    chain(m).flatMap(_.partitionsDelta).toSet
+
+  /** Full data-path list of a logical table as of `m`. */
+  def tablePaths(m: Manifest, table: String): Seq[String] =
+    chain(m).flatMap(_.tables.getOrElse(table, Seq.empty)).toSeq.reverse
+
   /** Atomic commit: temp write + rename is the commit point. Sequence is
     * assigned here (head+1); a racing writer loses the rename and retries
     * at the next sequence (single-writer in this engine, but the protocol
@@ -97,11 +129,11 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     stamped
   }
 
-  /** Read a logical table through the manifest's file list (never by
+  /** Read a logical table through the manifest chain's file lists (never by
     * directory listing — uncommitted data is invisible by construction).
     */
   def readTable(spark: SparkSession, m: Manifest, table: String): DataFrame = {
-    val paths = m.tables.getOrElse(table, Seq.empty)
+    val paths = tablePaths(m, table)
     require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
     spark.read.parquet(paths: _*)
   }

@@ -2,12 +2,15 @@ package graft.table
 
 import java.util.Base64
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.constraint.ConstraintSet
+import graft.constraint.{ConstraintSet, IsIn, MaxLength, MinLength, NonNull}
 import graft.engine.{EngineOptions, PixelChecks, ValidationEngine}
-import graft.sketch.{ColumnProfiler, Sketches}
+import graft.model.Status
+import graft.sketch.Sketches
 
 /** The full validate-then-produce job over a snapshotted table, resumable
   * from the last checkpointed partition set (north_rule).
@@ -16,18 +19,31 @@ import graft.sketch.{ColumnProfiler, Sketches}
   *  - the caller provides `inputFor(partition)` — explicit partition-pruned
   *    input (with a manifest-backed source this is file-list construction,
   *    not a post-scan filter: SURVEY §4 "pruning is explicit");
-  *  - each partition is processed in ONE pass (validate → triage → write
-  *    valid/violations/rollups) and then committed as a snapshot increment;
-  *  - a killed job re-run skips every partition already in
-  *    `head.committedPartitions` — only unfinished work reprocesses;
-  *  - column-statistic sketches accumulate across commits by sketch merge,
-  *    so the final manifest carries whole-table statistics (drift baseline).
+  *  - partitions are processed `commitBatch` at a time: ONE Spark job per
+  *    phase per batch and ONE manifest commit per batch, so a P-partition
+  *    table costs ⌈P/k⌉ commits and the driver never serializes per-partition
+  *    round-trips (round-1 advisory: the per-partition loop was O(P) jobs +
+  *    O(P²) manifest bytes);
+  *  - per batch: validate → write valid → re-ingest violations through the
+  *    error-schema gate and write survivors → ONE stats aggregation
+  *    computing per-partition rollups AND column-stat sketches together
+  *    (no second read of the written output);
+  *  - a killed job re-run skips every partition in the chain's committed
+  *    set — only unfinished work reprocesses;
+  *  - per-phase duration metrics (wall + executor task time via a
+  *    SparkListener) are committed atomically with the manifest — the
+  *    engine analog of the reference's per-route duration histograms
+  *    (/root/reference/lib/util.js:101-139).
   *
-  * This strengthens the reference's fire-and-forget error re-ingest
-  * (/root/reference/lib/eventgate.js:243-270) into a durable write, while
-  * keeping suppression semantics: `suppressViolations` drops violation rows
-  * the way a null `mapToErrorEvent` drops error events
-  * (/root/reference/lib/eventgate.js:260).
+  * Violation re-ingest: the reference maps failures to error EVENTS and
+  * pushes them back through the same gate, validating them against the
+  * error schema (/root/reference/lib/eventgate.js:243-270,
+  * test/schemas/error/0.0.1). The batch analog: violation rows are
+  * validated against [[ValidationJob.violationsSchemaV1]] by a second
+  * ValidationEngine before the write; rows failing that schema are dropped
+  * and counted (`violations_rejected`) — durable where the reference is
+  * fire-and-forget, suppression (`suppressViolations`) mirroring a null
+  * `mapToErrorEvent` (/root/reference/lib/eventgate.js:260).
   */
 final class ValidationJob(
     spark: SparkSession,
@@ -37,8 +53,13 @@ final class ValidationJob(
     partitionSpec: String = "explicit",
     profileColumns: Boolean = true,
     /** keep-predicate over violation rows; None keeps all. */
-    suppressViolations: Option[Column] = None
+    suppressViolations: Option[Column] = None,
+    /** partitions per Spark job + manifest commit. */
+    commitBatch: Int = 8,
+    /** error-schema gate for re-ingested violation rows; None skips the gate. */
+    violationsSchema: Option[ConstraintSet] = Some(ValidationJob.violationsSchemaV1)
 ) {
+  require(commitBatch >= 1, "commitBatch must be >= 1")
 
   private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
@@ -52,88 +73,201 @@ final class ValidationJob(
     "freq_phash" -> Sketches.freqLongMerge
   )
 
+  /** Wall + executor-task milliseconds per named phase, via job groups. */
+  private final class PhaseListener extends SparkListener {
+    private val stagePhase = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val taskMs = scala.collection.concurrent.TrieMap.empty[String, Long]
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties).flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      g.foreach(gr => js.stageIds.foreach(sid => stagePhase.put(sid, gr)))
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      stagePhase.get(te.stageId).foreach { g =>
+        val ms = Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+        taskMs.update(g, taskMs.getOrElse(g, 0L) + ms)
+      }
+  }
+
   def run(inputFor: Int => DataFrame, partitions: Seq[Int]): Manifest = {
     var current = log.head
-    val done = current.map(_.committedPartitions.toSet).getOrElse(Set.empty[Int])
+    val done = current.map(log.committedPartitions).getOrElse(Set.empty[Int])
     val todo = partitions.filterNot(done)
+    val listener = new PhaseListener
+    // task_ms baseline from BEFORE this run: the listener accumulates across
+    // this run's batches, so resumed runs add onto the chain's prior totals.
+    val baseTaskMs = current.map(_.metrics).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("task_ms_") => k -> v }
+    spark.sparkContext.addSparkListener(listener)
 
-    for (p <- todo) {
-      val opts = EngineOptions(
-        snapshotId = current.map(_.snapshotId).getOrElse("snap-00000000"),
-        pixelChecks = pixelChecks,
-        partitionIdCol = lit(p)
-      )
-      val res = new ValidationEngine(cs, opts).process(inputFor(p))
-
-      val validPath = log.dataDir(p, "valid")
-      val vioPath = log.dataDir(p, "violations")
-      val rollPath = log.dataDir(p, "rollups")
-      res.valid.write.mode("overwrite").parquet(validPath)
-      val vio = suppressViolations.fold(res.violations)(res.violations.filter)
-      vio.write.mode("overwrite").parquet(vioPath)
-      res.rollups.write.mode("overwrite").parquet(rollPath)
-
-      // partition metrics from the written rollups (tiny)
-      val roll = spark.read.parquet(rollPath).agg(
-        coalesce(sum("n_success"), lit(0L)),
-        coalesce(sum("n_invalid"), lit(0L)),
-        coalesce(sum("n_error"), lit(0L))
-      ).collect()(0)
-      val (nS, nI, nE) = (roll.getLong(0), roll.getLong(1), roll.getLong(2))
-
-      val newSketches: Map[String, String] =
-        if (!profileColumns) Map.empty
-        else {
-          val prof = ColumnProfiler.profile(spark.read.parquet(validPath))
-          Map(
-            "hll_image_id" -> b64(prof.hllImageId),
-            "hll_phash" -> b64(prof.hllPhash),
-            "td_w" -> b64(prof.tdW),
-            "td_h" -> b64(prof.tdH),
-            "freq_fmt" -> b64(prof.freqFmt),
-            "freq_phash" -> b64(prof.freqPhash)
-          )
+    try {
+      for (batch <- todo.grouped(commitBatch)) {
+        val wallMs = scala.collection.mutable.Map.empty[String, Long]
+        def phase[T](name: String)(body: => T): T = {
+          spark.sparkContext.setJobGroup(name, s"graft $name", interruptOnCancel = false)
+          val t0 = System.nanoTime()
+          try body
+          finally {
+            wallMs(name) = wallMs.getOrElse(name, 0L) + (System.nanoTime() - t0) / 1000000L
+            spark.sparkContext.clearJobGroup()
+          }
         }
 
-      val prevMetrics = current.map(_.metrics).getOrElse(Map.empty)
-      val prevSketches = current.map(_.sketches).getOrElse(Map.empty)
-      val prevTables = current.map(_.tables).getOrElse(Map.empty)
-      val mergedSketches = (prevSketches.keySet ++ newSketches.keySet).map { k =>
-        k -> ((prevSketches.get(k), newSketches.get(k)) match {
-          case (Some(a), Some(b)) => b64(sketchMergers(k)(unb64(a), unb64(b)))
-          case (Some(a), None)    => a
-          case (None, Some(b))    => b
-          case _                  => throw new IllegalStateException("unreachable")
-        })
-      }.toMap
+        val opts = EngineOptions(
+          snapshotId = current.map(_.snapshotId).getOrElse("snap-00000000"),
+          pixelChecks = pixelChecks,
+          partitionIdCol = col("_pid")
+        )
+        // One heterogeneous input per batch, each row tagged with its
+        // partition id — one Spark job per phase covers all k partitions.
+        val tagged = batch.map(p => inputFor(p).withColumn("_pid", lit(p))).reduce(_.unionByName(_))
+        val res = new ValidationEngine(cs, opts).process(tagged)
 
-      val committed = current.map(_.committedPartitions).getOrElse(Seq.empty) :+ p
-      current = Some(
-        log.commit(
-          Manifest(
-            snapshotId = "", // assigned by commit
-            sequence = 0L,
-            parentId = current.map(_.snapshotId),
-            constraintVersion = cs.version,
-            partitionSpec = partitionSpec,
-            committedPartitions = committed,
-            complete = partitions.toSet.subsetOf(committed.toSet),
-            tables = Map(
-              "valid" -> (prevTables.getOrElse("valid", Seq.empty) :+ validPath),
-              "violations" -> (prevTables.getOrElse("violations", Seq.empty) :+ vioPath),
-              "rollups" -> (prevTables.getOrElse("rollups", Seq.empty) :+ rollPath)
-            ),
-            metrics = Map(
-              "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
-              "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),
-              "n_error" -> (prevMetrics.getOrElse("n_error", 0L) + nE)
-            ),
-            sketches = mergedSketches,
-            createdAtMs = System.currentTimeMillis()
+        val tag = batch.mkString("_")
+        val validPath = log.dataDir(tag, "valid")
+        val vioPath = log.dataDir(tag, "violations")
+        val rollPath = log.dataDir(tag, "rollups")
+
+        phase("write_valid") {
+          res.valid.drop("_pid").write.mode("overwrite").parquet(validPath)
+        }
+
+        // Violations: suppression, then the error-schema re-ingest gate.
+        val kept = suppressViolations.fold(res.violations)(res.violations.filter)
+        val rejectedObs = Observation(s"gate_$tag")
+        val gated = violationsSchema match {
+          case None => kept
+          case Some(schema) =>
+            // `status` is data here (the violated row's triage), so it is
+            // renamed out of the gate engine's own triage column's way.
+            val asEvents = kept.withColumnRenamed("status", "violation_status")
+            val gateRes = new ValidationEngine(
+              schema,
+              EngineOptions(snapshotId = opts.snapshotId, idField = "image_id", partitionIdCol = col("partition_id"))
+            ).process(asEvents)
+            gateRes.annotated
+              .observe(rejectedObs, count(when(col("status") =!= Status.Success, 1)).as("rejected"))
+              .filter(col("status") === Status.Success)
+              .select(kept.columns.map(c => if (c == "status") col("violation_status").as("status") else col(c)): _*)
+        }
+        phase("write_violations") {
+          gated.write.mode("overwrite").parquet(vioPath)
+        }
+        val rejected: Long =
+          if (violationsSchema.isEmpty) 0L
+          else rejectedObs.get.get("rejected").map(_.asInstanceOf[Long]).getOrElse(0L)
+
+        // ONE aggregation per batch: per-partition rollups AND column-stat
+        // sketches over the valid slice, collected together (k rows) — no
+        // re-read of written output (round-1 advisory: kill the second scan).
+        val ok = col("status") === Status.Success
+        val statAggs = Seq(
+          count(when(ok, 1)).as("n_success"),
+          count(when(col("status") === Status.Invalid, 1)).as("n_invalid"),
+          count(when(col("status") === Status.Error, 1)).as("n_error")
+        ) ++ (if (profileColumns)
+                Seq(
+                  Sketches.hllString(when(ok, col("image_id"))).as("hll_image_id"),
+                  Sketches.hllLong(when(ok, col("phash"))).as("hll_phash"),
+                  Sketches.tdigest(when(ok, col("w"))).as("td_w"),
+                  Sketches.tdigest(when(ok, col("h"))).as("td_h"),
+                  Sketches.freqString(when(ok, col("fmt"))).as("freq_fmt"),
+                  Sketches.freqLong(when(ok, col("phash"))).as("freq_phash")
+                )
+              else Seq.empty)
+        val statRows: Array[Row] = phase("stats") {
+          res.annotated.groupBy(col("partition_id")).agg(statAggs.head, statAggs.tail: _*).collect()
+        }
+
+        // Rollup rows are driver-built from the already-collected stats — a
+        // metadata-sized write, not another data scan.
+        val snapshotId = opts.snapshotId
+        val rollupRows = statRows.map(r =>
+          Row(snapshotId, r.getAs[Int]("partition_id"), r.getAs[Long]("n_success"), r.getAs[Long]("n_invalid"), r.getAs[Long]("n_error"))
+        )
+        val rollupSchema = StructType(Seq(
+          StructField("snapshot_id", StringType), StructField("partition_id", IntegerType),
+          StructField("n_success", LongType), StructField("n_invalid", LongType), StructField("n_error", LongType)
+        ))
+        phase("write_rollups") {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(rollupRows.toSeq.asJava, rollupSchema)
+            .coalesce(1).write.mode("overwrite").parquet(rollPath)
+        }
+
+        val (nS, nI, nE) = statRows.foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
+          (a + r.getAs[Long]("n_success"), b + r.getAs[Long]("n_invalid"), c + r.getAs[Long]("n_error"))
+        }
+        val newSketches: Map[String, String] =
+          if (!profileColumns || statRows.isEmpty) Map.empty
+          else
+            sketchMergers.keys.map { k =>
+              k -> b64(statRows.map(_.getAs[Array[Byte]](k)).reduce(sketchMergers(k)))
+            }.toMap
+
+        val prevMetrics = current.map(_.metrics).getOrElse(Map.empty)
+        val prevSketches = current.map(_.sketches).getOrElse(Map.empty)
+        val mergedSketches = (prevSketches.keySet ++ newSketches.keySet).map { k =>
+          k -> ((prevSketches.get(k), newSketches.get(k)) match {
+            case (Some(a), Some(b)) => b64(sketchMergers(k)(unb64(a), unb64(b)))
+            case (Some(a), None)    => a
+            case (None, Some(b))    => b
+            case _                  => throw new IllegalStateException("unreachable")
+          })
+        }.toMap
+
+        val durations =
+          wallMs.map { case (k, v) => s"wall_ms_$k" -> (prevMetrics.getOrElse(s"wall_ms_$k", 0L) + v) } ++
+            listener.taskMs.map { case (k, v) => // listener is cumulative across THIS run's batches
+              s"task_ms_$k" -> (baseTaskMs.getOrElse(s"task_ms_$k", 0L) + v)
+            }
+
+        val committedSoFar = current.map(log.committedPartitions).getOrElse(Set.empty) ++ batch
+        current = Some(
+          log.commit(
+            Manifest(
+              snapshotId = "", // assigned by commit
+              sequence = 0L,
+              parentId = current.map(_.snapshotId),
+              constraintVersion = cs.version,
+              partitionSpec = partitionSpec,
+              partitionsDelta = batch,
+              complete = partitions.toSet.subsetOf(committedSoFar),
+              tables = Map("valid" -> Seq(validPath), "violations" -> Seq(vioPath), "rollups" -> Seq(rollPath)),
+              metrics = Map(
+                "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
+                "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),
+                "n_error" -> (prevMetrics.getOrElse("n_error", 0L) + nE),
+                "violations_rejected" -> (prevMetrics.getOrElse("violations_rejected", 0L) + rejected)
+              ) ++ durations,
+              sketches = mergedSketches,
+              createdAtMs = System.currentTimeMillis()
+            )
           )
         )
-      )
-    }
-    current.getOrElse(throw new IllegalStateException("nothing to commit: no partitions"))
+      }
+      current.getOrElse(throw new IllegalStateException("nothing to commit: no partitions"))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
+}
+
+object ValidationJob {
+
+  /** The error-event schema of the reference
+    * (/root/reference/test/schemas/error/0.0.1: required fields + minLength
+    * 1) transplanted onto violation rows: every re-ingested violation must
+    * itself be a well-formed violation event.
+    */
+  val violationsSchemaV1: ConstraintSet = ConstraintSet(
+    version = "violations-schema/1.0.0",
+    fills = Seq.empty,
+    checks = Seq(
+      NonNull("snapshot_id"),
+      NonNull("constraint_id"),
+      NonNull("field"),
+      NonNull("detail"),
+      MinLength("detail", 1),
+      MaxLength("detail", 8192),
+      IsIn("violation_status", Seq(Status.Invalid, Status.Error))
+    )
+  )
 }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.constraint.{ConstraintSet, MaxLength, NonNull}
 import graft.engine.ImageConstraints
 import graft.gen.SyntheticImages
 import graft.sketch.Sketches
@@ -32,17 +33,39 @@ class SnapshotSpec extends SparkSpec {
     new SnapshotLog(dir, spark.sparkContext.hadoopConfiguration)
   }
 
+  private def countMetrics(m: graft.table.Manifest): Map[String, Long] =
+    m.metrics.filter { case (k, _) => k.startsWith("n_") || k == "violations_rejected" }
+
   test("atomic commit: sequences increase; HEAD reads back the manifest") {
     val log = newLog()
-    val job = new ValidationJob(spark, log, ImageConstraints.v1)
+    val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
     val m = job.run(inputFor, Seq(0, 1))
-    assert(m.sequence == 2) // one commit per partition checkpoint
-    assert(m.committedPartitions.sorted == Seq(0, 1))
+    assert(m.sequence == 2) // one commit per partition checkpoint at k=1
+    assert(log.committedPartitions(m) == Set(0, 1))
     assert(m.complete) // complete w.r.t. THIS run's target partition set
     val h = log.head.get
     assert(h.snapshotId == m.snapshotId)
     assert(h.constraintVersion == ImageConstraints.v1.version)
     assert(h.metrics("n_success") > 0)
+  }
+
+  test("batched commits: P partitions at k per commit cost ceil(P/k) commits, same results") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 3).run(inputFor, Seq(0, 1, 2, 3))
+    assert(m.sequence == 2, s"expected ceil(4/3)=2 commits, got ${m.sequence}") // [0,1,2] + [3]
+    assert(log.committedPartitions(m) == Set(0, 1, 2, 3))
+    assert(m.complete)
+
+    val perPartLog = newLog()
+    val pp = new ValidationJob(spark, perPartLog, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    assert(pp.sequence == 4)
+    val a = log.readTable(spark, m, "valid").select("image_id").collect().map(_.toString).sorted
+    val b = perPartLog.readTable(spark, pp, "valid").select("image_id").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(countMetrics(m) == countMetrics(pp))
+    // rollups stay per-PARTITION even inside a multi-partition commit
+    val parts = log.readTable(spark, m, "rollups").select("partition_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(parts == Set(0, 1, 2, 3))
   }
 
   test("killed job resumes from the last checkpointed partition set") {
@@ -53,16 +76,16 @@ class SnapshotSpec extends SparkSpec {
       if (p == 2) throw new RuntimeException("simulated kill")
       countingInput(p)
     }
-    val job1 = new ValidationJob(spark, log, ImageConstraints.v1)
+    val job1 = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
     intercept[RuntimeException](job1.run(failingInput, Seq(0, 1, 2, 3)))
-    assert(log.head.get.committedPartitions.sorted == Seq(0, 1))
+    assert(log.committedPartitions(log.head.get) == Set(0, 1))
 
-    // resume: only 2 and 3 are reprocessed
+    // resume: only 2 and 3 are reprocessed (batched this time — one commit)
     calls = Vector.empty
-    val m = new ValidationJob(spark, log, ImageConstraints.v1).run(countingInput, Seq(0, 1, 2, 3))
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 2).run(countingInput, Seq(0, 1, 2, 3))
     assert(calls == Vector(2, 3), s"reprocessed $calls")
     assert(m.complete)
-    assert(m.committedPartitions.sorted == Seq(0, 1, 2, 3))
+    assert(log.committedPartitions(m) == Set(0, 1, 2, 3))
 
     // final state identical to a clean run
     val cleanLog = newLog()
@@ -70,14 +93,14 @@ class SnapshotSpec extends SparkSpec {
     val a = log.readTable(spark, m, "valid").select("image_id").collect().map(_.toString).sorted
     val b = cleanLog.readTable(spark, clean, "valid").select("image_id").collect().map(_.toString).sorted
     assert(a.sameElements(b))
-    assert(m.metrics == clean.metrics)
+    assert(countMetrics(m) == countMetrics(clean))
   }
 
   test("uncommitted partition outputs are invisible through the manifest") {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1).run(inputFor, Seq(0))
     // partition 1's data dir may not exist yet; the manifest only lists p=0
-    assert(m.tables("valid").forall(_.contains("p=0")))
+    assert(log.tablePaths(m, "valid").forall(_.contains("p=0")))
     val n = log.readTable(spark, m, "valid").count()
     val expect = spark.range(0, N).filter(col("id") % P === 0).count()
     assert(n <= expect) // only p=0 rows, minus invalid/error
@@ -86,7 +109,7 @@ class SnapshotSpec extends SparkSpec {
 
   test("manifest sketches accumulate to whole-table statistics") {
     val log = newLog()
-    val m = new ValidationJob(spark, log, ImageConstraints.v1).run(inputFor, Seq(0, 1, 2, 3))
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 2).run(inputFor, Seq(0, 1, 2, 3))
     val hll = java.util.Base64.getDecoder.decode(m.sketches("hll_image_id"))
     val est = Sketches.hllEstimate(hll)
     val exact = log.readTable(spark, m, "valid").select("image_id").distinct().count()
@@ -94,6 +117,17 @@ class SnapshotSpec extends SparkSpec {
     // lineage chain: parent ids link back
     val h = log.head.get
     assert(h.parentId.isDefined)
+  }
+
+  test("per-phase duration metrics are committed atomically with the manifest") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 4).run(inputFor, Seq(0, 1, 2, 3))
+    for (phase <- Seq("write_valid", "write_violations", "stats", "write_rollups"))
+      assert(m.metrics.getOrElse(s"wall_ms_$phase", -1L) >= 0L, s"missing wall_ms_$phase in ${m.metrics.keys}")
+    assert(m.metrics("wall_ms_write_valid") > 0L)
+    assert(m.metrics("wall_ms_stats") > 0L)
+    // executor task time captured via SparkListener for at least the big phases
+    assert(m.metrics.keys.exists(_.startsWith("task_ms_")), s"no task_ms_* in ${m.metrics.keys}")
   }
 
   test("violation suppression drops rows like a null mapToErrorEvent") {
@@ -108,5 +142,28 @@ class SnapshotSpec extends SparkSpec {
     val v = log.readTable(spark, m, "violations")
     assert(v.filter(col("constraint_id") === "whitelist(fmt)").count() == 0)
     assert(v.count() > 0)
+  }
+
+  test("violations re-ingest through the error-schema gate (eventgate.js:243-270)") {
+    // default schema: well-formed violation rows all pass the gate
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1).run(inputFor, Seq(0, 1))
+    assert(m.metrics("violations_rejected") == 0L)
+    val vCount = log.readTable(spark, m, "violations").count()
+    assert(vCount > 0)
+
+    // a stricter gate rejects rows that don't conform to the error schema
+    val strictGate = ConstraintSet(
+      "strict-vio/1.0.0",
+      Seq.empty,
+      Seq(NonNull("constraint_id"), MaxLength("detail", 30)) // short details pass, long ones reject
+    )
+    val log2 = newLog()
+    val m2 = new ValidationJob(spark, log2, ImageConstraints.v1, violationsSchema = Some(strictGate))
+      .run(inputFor, Seq(0, 1))
+    assert(m2.metrics("violations_rejected") > 0L, s"metrics=${m2.metrics}")
+    val v2 = log2.readTable(spark, m2, "violations")
+    assert(v2.count() + m2.metrics("violations_rejected") == vCount)
+    assert(v2.filter(length(col("detail")) > 30).count() == 0)
   }
 }

@@ -45,6 +45,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/valid").count() == n1)
   }
 
+  test("snapshot-committed stream: batch outputs visible only through one atomic manifest") {
+    val src = Files.createTempDirectory("graft_stream_src3").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt3").toString
+    val logDir = Files.createTempDirectory("graft_stream_log3").toString
+    val log = new graft.table.SnapshotLog(logDir, spark.sparkContext.hadoopConfiguration)
+    val imgs = SyntheticImages.images(spark, 800, 2).toDF()
+    imgs.write.mode("overwrite").parquet(src)
+
+    val q = StreamingValidation.startSnapshotted(spark, src, imgs.schema, ImageConstraints.v1, log, ckpt)
+    q.awaitTermination()
+
+    val head = log.head.get
+    val streamValid = log.readTable(spark, head, "valid")
+    val batchValid = new ValidationEngine(ImageConstraints.v1, EngineOptions()).process(spark.read.parquet(src)).valid
+    assert(streamValid.count() == batchValid.count())
+    assert(head.metrics("n_success") == batchValid.count())
+    assert(log.readTable(spark, head, "violations").count() > 0)
+
+    // restart on the same checkpoint: no new micro-batch, no new commits
+    val seqBefore = head.sequence
+    val q2 = StreamingValidation.startSnapshotted(spark, src, imgs.schema, ImageConstraints.v1, log, ckpt)
+    q2.awaitTermination()
+    assert(log.head.get.sequence == seqBefore)
+  }
+
+  test("mid-batch failure leaves NO partially visible output; replay is exactly-once-visible") {
+    val logDir = Files.createTempDirectory("graft_stream_log4").toString
+    val log = new graft.table.SnapshotLog(logDir, spark.sparkContext.hadoopConfiguration)
+    val imgs = SyntheticImages.images(spark, 400, 2).toDF()
+
+    // batch 0 commits cleanly
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 0L).isDefined)
+    val head0 = log.head.get
+    val validBefore = log.readTable(spark, head0, "valid").count()
+
+    // batch 1 dies mid-job (a poisoned row throws during evaluation):
+    // some files may have landed on disk, but no manifest was committed —
+    // readers see EXACTLY the pre-crash state.
+    val poisoned = imgs.withColumn(
+      "caption",
+      when(col("w") % 97 === 0, raise_error(lit("simulated mid-batch crash"))).otherwise(col("caption"))
+    )
+    intercept[Exception](StreamingValidation.processAndCommit(log, ImageConstraints.v1, poisoned, 1L))
+    assert(log.head.get.snapshotId == head0.snapshotId, "crash must not advance HEAD")
+    assert(log.readTable(spark, log.head.get, "valid").count() == validBefore)
+
+    // retry of batch 1 (foreachBatch re-delivery) succeeds and commits once
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 1L).isDefined)
+    val afterRetry = log.head.get
+    // a SECOND replay of batch 1 is a no-op: exactly-once visibility
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 1L).isEmpty)
+    assert(log.head.get.snapshotId == afterRetry.snapshotId)
+    assert(log.readTable(spark, log.head.get, "valid").count() == 2 * validBefore)
+  }
+
   test("watermarked windowed counts over an event stream") {
     val src = Files.createTempDirectory("graft_stream_ev").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode("overwrite").parquet(src)
