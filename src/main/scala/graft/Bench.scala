@@ -53,7 +53,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val sfName = sfDir.split("/").last
     val sf = sfName.stripPrefix("sf").toDoubleOption.getOrElse(0.01)
-    val rows = math.max((sf * 5e6).toLong, 100000L)
+    // Validate-throughput scale can be lifted independently of the per-query
+    // sfDir (e.g. VALIDATE_SF=1 generates a 5M-unique-row input — the sf1
+    // scaling evidence of BASELINE.md §3.3 — without needing sf1 testdata).
+    val validateSf = sys.env.get("SPARK_GRAFT_VALIDATE_SF").flatMap(_.toDoubleOption).getOrElse(sf)
+    val rows = math.max((validateSf * 5e6).toLong, 100000L)
     // Measured rows scale with cores (≈1M/core, ≥8M): the high-core run must
     // be long enough (~10s) that fixed plan/schedule/JIT overhead doesn't
     // masquerade as poor scaling in the N-vs-4N efficiency gate.
@@ -131,7 +135,7 @@ object Bench {
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfName%s",""" +
-        f""""validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
+        f""""validate_sf":$validateSf%s,"validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
         f""""validate_sec_low":$secGateLow%.3f,"validate_sec_high":$secGateHigh%.3f,""" +
         f""""validate_rows_per_sec_low":$thrGateLow%.0f,"validate_rows_per_sec_high":$thrGateHigh%.0f,""" +
         f""""scaling_efficiency":$gateEfficiency%.3f,""" +

@@ -92,10 +92,13 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
-    val rows = numHashes / numBands
+    // Shingles sorted once per doc so the verify can merge-count
+    // intersections; band keys via the single codegen'd MinHashBandKeys
+    // expression (minhash is order-invariant) — constant plan cost instead
+    // of a numHashes-subtree Column plan (seconds of janino per query).
     val sigs = materializeSigs(
-      df.select(col(idCol).as("id"), TextOps.hashedShingles(col(textCol), shingleK).as("sh"))
-        .withColumn("bands", TextOps.minhashBands(TextOps.minhashSignature(col("sh"), numHashes), numBands, rows)),
+      df.select(col(idCol).as("id"), array_sort(TextOps.hashedShingles(col(textCol), shingleK)).as("sh"))
+        .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands)),
       "minhash")
     val keys = capBuckets(
       sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
@@ -109,7 +112,7 @@ object Dedup {
     cand
       .join(shOnly.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shOnly.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

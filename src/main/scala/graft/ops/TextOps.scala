@@ -40,6 +40,18 @@ object TextOps {
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
+  /** Exact Jaccard of two SORTED distinct long arrays: |∩| by linear merge
+    * (codegen'd [[graft.functions.SortedIntersectCount]]) and |∪| by
+    * arithmetic (|a|+|b|−|∩|) — measured 3.5x faster than the
+    * array_intersect/array_union form on the LSH verify path (no per-pair
+    * hash-set or array materialization).
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.MinHash.sortedIntersectCount(a, b).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
   /** MinHash signature: numHashes independent min-hashes over the shingle
     * set; hash family = xxhash64 seeded by the lane index. Deliberately an
     * array of per-lane subtrees, NOT one nested transform-over-sequence

@@ -50,6 +50,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), "no partial aggregation")
   }
 
+  test("rollups + sketch profile compute in ONE scan (no second read of the data)") {
+    // The ValidationJob stats phase: per-partition status counts AND all six
+    // sketch UDAFs in a single aggregation over the annotated frame — one
+    // parquet scan, one exchange. Round 1 re-read the written valid output
+    // for the profile; this asserts that second scan stays dead.
+    import graft.sketch.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_onescan").toString
+    graft.gen.SyntheticImages.images(spark, 300, 2).toDF().write.mode("overwrite").parquet(dir)
+    val res = new graft.engine.ValidationEngine(graft.engine.ImageConstraints.v1,
+      graft.engine.EngineOptions(partitionIdCol = spark_partition_id())).process(spark.read.parquet(dir))
+    val ok = col("status") === graft.model.Status.Success
+    val stats = res.annotated.groupBy(col("partition_id")).agg(
+      count(when(ok, 1)).as("n_success"),
+      count(when(col("status") === "invalid", 1)).as("n_invalid"),
+      count(when(col("status") === "error", 1)).as("n_error"),
+      Sketches.hllString(when(ok, col("image_id"))).as("hll_image_id"),
+      Sketches.tdigest(when(ok, col("w"))).as("td_w"),
+      Sketches.freqString(when(ok, col("fmt"))).as("freq_fmt")
+    )
+    val p = plan(stats)
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one scan, got $scans:\n${p.take(3000)}")
+    val exchanges = p.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+    assert(exchanges <= 1, s"stats agg should shuffle once, got $exchanges")
+  }
+
   test("brute-force ANN broadcasts the query side (no shuffle of the data side)") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = embs.filter(col("vec_id") < 3)
