@@ -371,13 +371,19 @@ object Queries {
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
       .agg(count(lit(1)).as("distinct_fps"), sum(when(col("n") > 1, 1).otherwise(0)).as("dup_groups"))
 
+  /** Exact cosine top-k MEMBERSHIP (which ids are the 10 nearest) — rank
+    * order is deliberately not compared: the 10th/11th cosine gap is ~1e-3+
+    * here while cross-engine FP noise is ~1e-7, so the set is stable, but
+    * adjacent ranks inside the set could differ at double precision between
+    * engines. Rank semantics are covered by OpsSpec's deterministic-tie test.
+    */
   def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val embs = t(s, dir, "embeddings")
     val queries = embs.filter(col("vec_id") < 5)
     Similarity
       .bruteForceTopK(embs.filter(col("vec_id") >= 5), queries, "vec_id", "vec_id", "embedding", 10)
-      .select("query_id", "rank", "data_id")
-      .orderBy("query_id", "rank")
+      .select("query_id", "data_id")
+      .orderBy("query_id", "data_id")
   }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -390,10 +396,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding near-dup via RP-LSH buckets + cosine verify. Oracle-backed:
+    * DuckDB computes the exhaustive all-pairs cosine (fine at oracle scale;
+    * the LSH path exists precisely so the engine never does). The corpus is
+    * synthetic-random (natural max pair cosine ≈ 0.51, measured), so the
+    * only pairs ≥ 0.95 are the planted exact duplicates — bucket recall on
+    * them is exact (identical vectors share every bucket), making the
+    * LSH-vs-exhaustive comparison deterministic.
+    */
   def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "embeddings")
-    // plant exact duplicates (id+10^6) — real corpora have them; this corpus
-    // is synthetic-random so a 0.95-cosine pair may not occur naturally
     val embs = base.unionByName(
       base.filter(col("vec_id") < 20).select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
     )
@@ -447,6 +459,8 @@ object Queries {
     "q19_explode_tokens" -> (q19ExplodeTokens _),
     "q23_lang_id" -> (qLangId _),
     "q24_fingerprint" -> (qFingerprint _),
+    "q25_ann_brute_force" -> (qAnnBruteForce _),
+    "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
@@ -463,9 +477,7 @@ object Queries {
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
     "q22_ngram_jaccard" -> (qNgramJaccard _),
-    "q25_ann_brute_force" -> (qAnnBruteForce _),
-    "q26_ann_ivf" -> (qAnnIvf _),
-    "q27_embedding_near_dup" -> (qEmbeddingNearDup _)
+    "q26_ann_ivf" -> (qAnnIvf _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = oracleBacked ++ rowsOnly
@@ -602,6 +614,25 @@ object Queries {
                      ELSE 'und' END AS predicted_lang,
                 COUNT(*) AS count
          FROM s GROUP BY 1 ORDER BY 1""",
+    "q25_ann_brute_force" ->
+      """WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.query_id, d.vec_id AS data_id,
+                      list_cosine_similarity(d.embedding, q.qv) AS cos
+               FROM d, q),
+         r AS (SELECT query_id, data_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, data_id) AS rk
+               FROM s)
+         SELECT query_id, data_id FROM r WHERE rk <= 10 ORDER BY 1, 2""",
+    "q27_embedding_near_dup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine_3dp
+         FROM u a, u b
+         WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+         ORDER BY 1, 2""",
     "q24_fingerprint" ->
       """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),
          g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper FROM f GROUP BY 1)
