@@ -182,6 +182,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("UuidLike ≡ rlike(UuidRe) on adversarial and random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val hexish = "0123456789abcdefg-ABCDEF_ñ中"
+    val cases = Seq(
+      "01234567-89ab-cdef-0123-456789abcdef", // valid
+      "01234567-89AB-cdef-0123-456789abcdef", // uppercase
+      "01234567-89ab-cdef-0123-456789abcde", // 35 chars
+      "01234567-89ab-cdef-0123-456789abcdeff", // 37 chars
+      "0123456789ab-cdef-0123-456789abcdef-", // dashes misplaced
+      "01234567-89ab-cdef-0123-456789abcdeñ", // multibyte tail
+      "", "-", null
+    ) ++ (0 until 500).map(_ => (0 until (30 + rnd.nextInt(10))).map(_ => hexish(rnd.nextInt(hexish.length))).mkString)
+    val df = cases.toDF("s")
+    val got = df.select(
+      col("s"),
+      graft.functions.StringPreds.uuidLike(col("s")).as("fast"),
+      col("s").rlike(UuidRe).as("re")
+    ).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch on '${r.get(0)}'")
+      if (!r.isNullAt(1)) assert(r.getBoolean(1) == r.getBoolean(2), s"mismatch on '${r.get(0)}'")
+    }
+  }
+
   test("column pruning: no-decode plan never reads bytes (SURVEY §7.4.3)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
