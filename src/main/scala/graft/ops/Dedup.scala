@@ -97,7 +97,7 @@ object Dedup {
     // expression (minhash is order-invariant) — constant plan cost instead
     // of a numHashes-subtree Column plan (seconds of janino per query).
     val sigs = materializeSigs(
-      df.select(col(idCol).as("id"), array_sort(TextOps.hashedShingles(col(textCol), shingleK)).as("sh"))
+      df.select(col(idCol).as("id"), graft.functions.TextHash.hashedShinglesSorted(col(textCol), shingleK).as("sh"))
         .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands)),
       "minhash")
     val keys = capBuckets(

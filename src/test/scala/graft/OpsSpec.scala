@@ -32,6 +32,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-9)
   }
 
+  test("HashedShinglesSorted ≡ array_sort(hashedShingles) incl. multibyte text") {
+    import org.apache.spark.sql.functions.array_sort
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc def ghi ñü中文 🎈xyz "
+    val cases = Seq("", "ab", "abcde", null, "中文中文中文", "a b c d e f") ++
+      (0 until 300).map(_ => (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = cases.toDF("t")
+    for (k <- Seq(3, 5)) {
+      val got = df.select(
+        graft.functions.TextHash.hashedShinglesSorted(col("t"), k).as("fast"),
+        array_sort(TextOps.hashedShingles(col("t"), k)).as("ref")
+      ).collect()
+      got.zip(cases).foreach { case (r, src) =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch k=$k on '$src'")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k mismatch on '$src'")
+      }
+    }
+  }
+
   test("minhash signature estimates jaccard") {
     val texts = docs.limit(20).select(col("doc_id"), col("text"))
     val withSig = texts
