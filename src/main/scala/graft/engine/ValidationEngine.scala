@@ -125,38 +125,7 @@ final class ValidationEngine(cs: ConstraintSet, opts: EngineOptions = EngineOpti
 
     val valid = annotated.filter(col("status") === Status.Success).select(inputCols.map(col): _*)
 
-    // Violation rows: constraint violations keep full detail; engine errors
-    // are scrubbed to message-only (/root/reference/lib/eventgate.js:42-60).
-    val invalidRows = annotated
-      .filter(col("status") === Status.Invalid)
-      .select(
-        lit(opts.snapshotId).as("snapshot_id"),
-        col("partition_id"),
-        col(opts.idField).as("image_id"),
-        explode(col("violations")).as("v"),
-        lit(Status.Invalid).as("status")
-      )
-      .select(
-        col("snapshot_id"),
-        col("partition_id"),
-        col("image_id"),
-        col("v.constraint_id"),
-        col("v.field"),
-        col("v.detail"),
-        col("status")
-      )
-    val errorRows = annotated
-      .filter(col("status") === Status.Error)
-      .select(
-        lit(opts.snapshotId).as("snapshot_id"),
-        col("partition_id"),
-        col(opts.idField).as("image_id"),
-        lit("engine_error").as("constraint_id"),
-        lit("bytes").as("field"),
-        col("engine_error").as("detail"),
-        lit(Status.Error).as("status")
-      )
-    val violations = invalidRows.unionByName(errorRows)
+    val violations = ValidationEngine.violationRows(annotated, opts.snapshotId, opts.idField)
 
     // Per-partition rollup: one hash-agg (partial+final), all statuses
     // always present as columns — the batch analog of forcing all three
@@ -175,6 +144,58 @@ final class ValidationEngine(cs: ConstraintSet, opts: EngineOptions = EngineOpti
 }
 
 object ValidationEngine {
+
+  /** ViolationRow projection from any annotated frame (must carry
+    * partition_id, violations, engine_error, status + the id field) — used
+    * by `process` and by ValidationJob when it re-derives violations from
+    * the written failing slice instead of re-scanning the input.
+    * Constraint violations keep full detail; engine errors are scrubbed to
+    * message-only (/root/reference/lib/eventgate.js:42-60).
+    */
+  def violationRows(annotated: DataFrame, snapshotId: String, idField: String): DataFrame = {
+    val invalidRows = annotated
+      .filter(col("status") === Status.Invalid)
+      .select(
+        lit(snapshotId).as("snapshot_id"),
+        col("partition_id"),
+        col(idField).as("image_id"),
+        explode(col("violations")).as("v"),
+        lit(Status.Invalid).as("status")
+      )
+      .select(
+        col("snapshot_id"),
+        col("partition_id"),
+        col("image_id"),
+        col("v.constraint_id"),
+        col("v.field"),
+        col("v.detail"),
+        col("status")
+      )
+    val errorRows = annotated
+      .filter(col("status") === Status.Error)
+      .select(
+        lit(snapshotId).as("snapshot_id"),
+        col("partition_id"),
+        col(idField).as("image_id"),
+        lit("engine_error").as("constraint_id"),
+        lit("bytes").as("field"),
+        col("engine_error").as("detail"),
+        lit(Status.Error).as("status")
+      )
+    invalidRows.unionByName(errorRows)
+  }
+
+  /** Parquet-facing schema of [[violationRows]] (for empty-batch writes). */
+  val violationRowSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("snapshot_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition_id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("constraint_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("field", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType)
+    ))
 
   /** Decode `bytes`, measure PSNR vs the reference pixels recoverable from
     * the generated image_id. Runs only when pixel checks are enabled.

@@ -118,21 +118,72 @@ final class ValidationJob(
           partitionIdCol = col("_pid")
         )
         // One heterogeneous input per batch, each row tagged with its
-        // partition id — one Spark job per phase covers all k partitions.
+        // partition id — validated and PRODUCED in one data pass: the
+        // annotated frame is written once, partitioned by status (the valid
+        // table is its status=success directory), while an attached
+        // Observation collects per-partition rollup counts and the batch's
+        // column-stat sketches during the same job. Violations are then
+        // derived by re-reading only the written FAILING slice (the ~1%
+        // minority) — the input is never scanned a second time. At 10^12
+        // rows this is the difference between one and three full passes.
         val tagged = batch.map(p => inputFor(p).withColumn("_pid", lit(p))).reduce(_.unionByName(_))
         val res = new ValidationEngine(cs, opts).process(tagged)
 
         val tag = batch.mkString("_")
-        val validPath = log.dataDir(tag, "valid")
+        val annotatedPath = log.dataDir(tag, "annotated")
         val vioPath = log.dataDir(tag, "violations")
         val rollPath = log.dataDir(tag, "rollups")
 
-        phase("write_valid") {
-          res.valid.drop("_pid").write.mode("overwrite").parquet(validPath)
+        val ok = col("status") === Status.Success
+        val countExprs = batch.flatMap { p =>
+          Seq(
+            count(when(col("partition_id") === p && ok, 1)).as(s"s_$p"),
+            count(when(col("partition_id") === p && col("status") === Status.Invalid, 1)).as(s"i_$p"),
+            count(when(col("partition_id") === p && col("status") === Status.Error, 1)).as(s"e_$p")
+          )
         }
+        val sketchExprs =
+          if (profileColumns)
+            Seq(
+              Sketches.hllString(when(ok, col("image_id"))).as("hll_image_id"),
+              Sketches.hllLong(when(ok, col("phash"))).as("hll_phash"),
+              Sketches.tdigest(when(ok, col("w"))).as("td_w"),
+              Sketches.tdigest(when(ok, col("h"))).as("td_h"),
+              Sketches.freqString(when(ok, col("fmt"))).as("freq_fmt"),
+              Sketches.freqLong(when(ok, col("phash"))).as("freq_phash")
+            )
+          else Seq.empty
+        val statsObs = Observation(s"stats_$tag")
+        val statExprs = countExprs ++ sketchExprs
+        phase("write_annotated") {
+          res.annotated.drop("_pid").drop("_decode")
+            .observe(statsObs, statExprs.head, statExprs.tail: _*)
+            .write.mode("overwrite").partitionBy("status").parquet(annotatedPath)
+        }
+        val stats = statsObs.get
+        def cnt(k: String): Long = stats(k).asInstanceOf[Long]
+        val perPart = batch.map(p => (p, cnt(s"s_$p"), cnt(s"i_$p"), cnt(s"e_$p")))
+        val (nS, nI, nE) = perPart.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (_, s, i, e)) =>
+          (a + s, b + i, c + e)
+        }
+        val validPaths =
+          if (nS > 0) Seq(s"$annotatedPath/status=${Status.Success}") else Seq.empty[String]
 
-        // Violations: suppression, then the error-schema re-ingest gate.
-        val kept = suppressViolations.fold(res.violations)(res.violations.filter)
+        // Violations from the written failing slice (basePath recovers the
+        // status partition column), then suppression and the re-ingest gate.
+        val failingDirs = Seq(Status.Invalid -> nI, Status.Error -> nE)
+          .collect { case (st, n) if n > 0 => s"$annotatedPath/status=$st" }
+        val vioSource =
+          if (failingDirs.isEmpty)
+            spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), ValidationEngine.violationRowSchema)
+          else
+            ValidationEngine.violationRows(
+              spark.read.option("basePath", annotatedPath).parquet(failingDirs: _*),
+              opts.snapshotId,
+              "image_id"
+            )
+        val kept = suppressViolations.fold(vioSource)(vioSource.filter)
         val rejectedObs = Observation(s"gate_$tag")
         val gated = violationsSchema match {
           case None => kept
@@ -156,53 +207,23 @@ final class ValidationJob(
           if (violationsSchema.isEmpty) 0L
           else rejectedObs.get.get("rejected").map(_.asInstanceOf[Long]).getOrElse(0L)
 
-        // ONE aggregation per batch: per-partition rollups AND column-stat
-        // sketches over the valid slice, collected together (k rows) — no
-        // re-read of written output (round-1 advisory: kill the second scan).
-        val ok = col("status") === Status.Success
-        val statAggs = Seq(
-          count(when(ok, 1)).as("n_success"),
-          count(when(col("status") === Status.Invalid, 1)).as("n_invalid"),
-          count(when(col("status") === Status.Error, 1)).as("n_error")
-        ) ++ (if (profileColumns)
-                Seq(
-                  Sketches.hllString(when(ok, col("image_id"))).as("hll_image_id"),
-                  Sketches.hllLong(when(ok, col("phash"))).as("hll_phash"),
-                  Sketches.tdigest(when(ok, col("w"))).as("td_w"),
-                  Sketches.tdigest(when(ok, col("h"))).as("td_h"),
-                  Sketches.freqString(when(ok, col("fmt"))).as("freq_fmt"),
-                  Sketches.freqLong(when(ok, col("phash"))).as("freq_phash")
-                )
-              else Seq.empty)
-        val statRows: Array[Row] = phase("stats") {
-          res.annotated.groupBy(col("partition_id")).agg(statAggs.head, statAggs.tail: _*).collect()
-        }
-
-        // Rollup rows are driver-built from the already-collected stats — a
-        // metadata-sized write, not another data scan.
+        // Rollup rows are driver-built from the counts observed during the
+        // annotated write — a metadata-sized write, not another data scan.
         val snapshotId = opts.snapshotId
-        val rollupRows = statRows.map(r =>
-          Row(snapshotId, r.getAs[Int]("partition_id"), r.getAs[Long]("n_success"), r.getAs[Long]("n_invalid"), r.getAs[Long]("n_error"))
-        )
+        val rollupRows = perPart.map { case (p, s, i, e) => Row(snapshotId, p, s, i, e) }
         val rollupSchema = StructType(Seq(
           StructField("snapshot_id", StringType), StructField("partition_id", IntegerType),
           StructField("n_success", LongType), StructField("n_invalid", LongType), StructField("n_error", LongType)
         ))
         phase("write_rollups") {
           import scala.jdk.CollectionConverters._
-          spark.createDataFrame(rollupRows.toSeq.asJava, rollupSchema)
+          spark.createDataFrame(rollupRows.asJava, rollupSchema)
             .coalesce(1).write.mode("overwrite").parquet(rollPath)
         }
 
-        val (nS, nI, nE) = statRows.foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
-          (a + r.getAs[Long]("n_success"), b + r.getAs[Long]("n_invalid"), c + r.getAs[Long]("n_error"))
-        }
         val newSketches: Map[String, String] =
-          if (!profileColumns || statRows.isEmpty) Map.empty
-          else
-            sketchMergers.keys.map { k =>
-              k -> b64(statRows.map(_.getAs[Array[Byte]](k)).reduce(sketchMergers(k)))
-            }.toMap
+          if (!profileColumns) Map.empty
+          else sketchMergers.keys.map(k => k -> b64(stats(k).asInstanceOf[Array[Byte]])).toMap
 
         val prevMetrics = current.map(_.metrics).getOrElse(Map.empty)
         val prevSketches = current.map(_.sketches).getOrElse(Map.empty)
@@ -232,7 +253,12 @@ final class ValidationJob(
               partitionSpec = partitionSpec,
               partitionsDelta = batch,
               complete = partitions.toSet.subsetOf(committedSoFar),
-              tables = Map("valid" -> Seq(validPath), "violations" -> Seq(vioPath), "rollups" -> Seq(rollPath)),
+              tables = Map(
+                "valid" -> validPaths,
+                "annotated" -> Seq(annotatedPath),
+                "violations" -> Seq(vioPath),
+                "rollups" -> Seq(rollPath)
+              ),
               metrics = Map(
                 "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
                 "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

@@ -122,10 +122,10 @@ class SnapshotSpec extends SparkSpec {
   test("per-phase duration metrics are committed atomically with the manifest") {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 4).run(inputFor, Seq(0, 1, 2, 3))
-    for (phase <- Seq("write_valid", "write_violations", "stats", "write_rollups"))
+    for (phase <- Seq("write_annotated", "write_violations", "write_rollups"))
       assert(m.metrics.getOrElse(s"wall_ms_$phase", -1L) >= 0L, s"missing wall_ms_$phase in ${m.metrics.keys}")
-    assert(m.metrics("wall_ms_write_valid") > 0L)
-    assert(m.metrics("wall_ms_stats") > 0L)
+    assert(m.metrics("wall_ms_write_annotated") > 0L)
+    assert(m.metrics("wall_ms_write_violations") > 0L)
     // executor task time captured via SparkListener for at least the big phases
     assert(m.metrics.keys.exists(_.startsWith("task_ms_")), s"no task_ms_* in ${m.metrics.keys}")
   }
