@@ -139,35 +139,8 @@ final class MultiStreamEngine(
     // partition by it (writeByStream).
     val valid = annotated.filter(col("status") === Status.Success).select(inputCols.map(col): _*)
 
-    val invalidRows = annotated
-      .filter(col("status") === Status.Invalid)
-      .select(
-        lit(opts.snapshotId).as("snapshot_id"),
-        col("partition_id"),
-        stream.as("stream"),
-        col("_set_id").as("constraint_version"),
-        col(opts.idField).as("row_id"),
-        explode(col("violations")).as("v"),
-        lit(Status.Invalid).as("status")
-      )
-      .select(
-        col("snapshot_id"), col("partition_id"), col("stream"), col("constraint_version"),
-        col("row_id"), col("v.constraint_id"), col("v.field"), col("v.detail"), col("status")
-      )
-    val errorRows = annotated
-      .filter(col("status") === Status.Error)
-      .select(
-        lit(opts.snapshotId).as("snapshot_id"),
-        col("partition_id"),
-        stream.as("stream"),
-        col("_set_id").as("constraint_version"),
-        col(opts.idField).as("row_id"),
-        lit("engine_error").as("constraint_id"),
-        lit(streamCol).as("field"),
-        col("engine_error").as("detail"),
-        lit(Status.Error).as("status")
-      )
-    val violations = invalidRows.unionByName(errorRows)
+    val violations =
+      MultiStreamEngine.violationRows(annotated, opts.snapshotId, opts.idField, streamCol)
 
     // Rollups per (stream, partition): the per-topic produce counts of the
     // reference, one hash-agg.
@@ -192,4 +165,45 @@ final class MultiStreamEngine(
     */
   def writeByStream(valid: DataFrame, path: String): Unit =
     valid.write.mode("overwrite").partitionBy(streamCol).parquet(path)
+}
+
+object MultiStreamEngine {
+
+  /** Multi-stream ViolationRow projection from any annotated frame (must
+    * carry partition_id, _set_id, violations, engine_error, status + the id
+    * and stream fields) — used by `process` and by MultiStreamValidationJob
+    * when deriving violations from the written failing slice.
+    */
+  def violationRows(annotated: DataFrame, snapshotId: String, idField: String, streamCol: String): DataFrame = {
+    val stream = col(streamCol)
+    val invalidRows = annotated
+      .filter(col("status") === Status.Invalid)
+      .select(
+        lit(snapshotId).as("snapshot_id"),
+        col("partition_id"),
+        stream.as("stream"),
+        col("_set_id").as("constraint_version"),
+        col(idField).as("row_id"),
+        explode(col("violations")).as("v"),
+        lit(Status.Invalid).as("status")
+      )
+      .select(
+        col("snapshot_id"), col("partition_id"), col("stream"), col("constraint_version"),
+        col("row_id"), col("v.constraint_id"), col("v.field"), col("v.detail"), col("status")
+      )
+    val errorRows = annotated
+      .filter(col("status") === Status.Error)
+      .select(
+        lit(snapshotId).as("snapshot_id"),
+        col("partition_id"),
+        stream.as("stream"),
+        col("_set_id").as("constraint_version"),
+        col(idField).as("row_id"),
+        lit("engine_error").as("constraint_id"),
+        lit(streamCol).as("field"),
+        col("engine_error").as("detail"),
+        lit(Status.Error).as("status")
+      )
+    invalidRows.unionByName(errorRows)
+  }
 }

@@ -62,8 +62,12 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   private def fs: FileSystem = new Path(root).getFileSystem(conf)
   private def snapDir = new Path(root, "snapshots")
 
+  // No '=' in layout segments: key=value-shaped directory names engage
+  // Spark's partition discovery, which (for multi-root reads of tables that
+  // ALSO have real partition dirs below) ascends past the roots and rejects
+  // differing batch tags as conflicting partition structures.
   def dataDir(tag: String, table: String): String =
-    new Path(root, s"data/p=$tag/$table").toString
+    new Path(root, s"data/p-$tag/$table").toString
 
   private def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
 
@@ -131,10 +135,16 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
 
   /** Read a logical table through the manifest chain's file lists (never by
     * directory listing — uncommitted data is invisible by construction).
+    *
+    * Each commit's root is read separately and unioned: Spark refuses a
+    * single multi-root read when the roots are internally PARTITIONED
+    * directories (e.g. the multi-stream annotated table's status=/stream=
+    * layout) — and per-root reads keep partition discovery and pruning
+    * local to each root. Filters still push into every union leg.
     */
   def readTable(spark: SparkSession, m: Manifest, table: String): DataFrame = {
     val paths = tablePaths(m, table)
     require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
-    spark.read.parquet(paths: _*)
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 }

@@ -128,6 +128,55 @@ class MultiStreamSpec extends SparkSpec {
     assert(!dirs.contains("stream=unregistered.stream")) // no valid rows there
   }
 
+  test("multi-stream job: per-stream routed output under ONE atomic commit; resume") {
+    import graft.table.{MultiStreamValidationJob, SnapshotLog}
+    val log = new SnapshotLog(
+      Files.createTempDirectory("graft_msjob").toString,
+      spark.sparkContext.hadoopConfiguration
+    )
+    var calls = Vector.empty[Int]
+    def inputFor(p: Int) = {
+      calls :+= p
+      batch.select(
+        concat(lit(s"p${p}_"), col("doc_id")).as("doc_id"), // null id stays null
+        col("text"), col("source"), col("stream")
+      )
+    }
+    val job = new MultiStreamValidationJob(spark, log, registry, idField = "doc_id", commitBatch = 2)
+    val m = job.run(inputFor, Seq(0, 1, 2))
+    assert(m.sequence == 2, s"ceil(3/2)=2 commits expected, got ${m.sequence}")
+    assert(log.committedPartitions(m) == Set(0, 1, 2))
+
+    // valid output is routed per stream (the per-topic produce, atomically)
+    val valid = MultiStreamValidationJob.readValid(spark, log, m)
+    val streams = valid.select("stream").distinct().collect().map(_.getString(0)).toSet
+    assert(streams == Set("strict", "lax"), s"got $streams") // only streams with passing rows
+    // the physical layout routes per (status, stream) directory
+    val successDirs = log.tablePaths(m, "annotated")
+      .flatMap(p => Option(new java.io.File(p, "status=success").listFiles()).toSeq.flatten)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(successDirs == Set("stream=strict", "stream=lax"), s"got $successDirs")
+    assert(valid.count() == 3 * 3) // b, c, d pass per input partition
+
+    // rollups per (stream, partition); totals partition the input
+    val roll = log.readTable(spark, m, "rollups")
+    assert(roll.select("stream", "partition_id").distinct().count() == roll.count())
+    val total = roll.agg(sum(col("n_success") + col("n_invalid") + col("n_error"))).collect()(0).getLong(0)
+    assert(total == batch.count() * 3)
+
+    // violations carry stream + constraint version; unknown stream rows are errors
+    val vio = log.readTable(spark, m, "violations")
+    assert(vio.filter(col("stream") === "unregistered.stream" && col("status") === "error").count() == 3)
+    assert(vio.filter(col("constraint_version") === "doc/2.0.0").count() > 0)
+    assert(m.metrics("violations_rejected") == 0L)
+
+    // resume: nothing reprocesses
+    calls = Vector.empty
+    val m2 = new MultiStreamValidationJob(spark, log, registry, idField = "doc_id", commitBatch = 2)
+      .run(inputFor, Seq(0, 1, 2))
+    assert(calls.isEmpty && m2.snapshotId == m.snapshotId)
+  }
+
   test("stream extraction + sanitization parity (default-eventgate.js:132-152)") {
     val df = Seq(
       (Some("explicit_stream"), "/cool/schema/uri"),

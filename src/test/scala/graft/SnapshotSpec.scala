@@ -100,7 +100,7 @@ class SnapshotSpec extends SparkSpec {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1).run(inputFor, Seq(0))
     // partition 1's data dir may not exist yet; the manifest only lists p=0
-    assert(log.tablePaths(m, "valid").forall(_.contains("p=0")))
+    assert(log.tablePaths(m, "valid").forall(_.contains("p-0")))
     val n = log.readTable(spark, m, "valid").count()
     val expect = spark.range(0, N).filter(col("id") % P === 0).count()
     assert(n <= expect) // only p=0 rows, minus invalid/error
