@@ -45,7 +45,11 @@ final case class Manifest(
     metrics: Map[String, Long],
     /** cumulative merged column-stat sketches: name -> base64(bytes). */
     sketches: Map[String, String],
-    createdAtMs: Long
+    createdAtMs: Long,
+    /** true ⇒ this manifest holds the FULL partition/file view and the
+      * chain walk stops here (parentId is kept as pure lineage). Written by
+      * [[SnapshotLog.checkpoint]]. */
+    checkpoint: Boolean = false
 )
 
 /** Append-only snapshot log over any Hadoop filesystem.
@@ -95,14 +99,40 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     } finally in.close()
   }
 
-  /** Manifest and all ancestors, newest first. Chain length = number of
-    * commits — metadata-sized reads, never data reads.
+  /** Manifest and its ancestors back to (and including) the nearest
+    * checkpoint, newest first. Chain length = commits since the last
+    * [[checkpoint]] — metadata-sized reads, never data reads.
     */
-  def chain(m: Manifest): Iterator[Manifest] =
-    Iterator.iterate(Option(m)) {
-      case Some(cur) => cur.parentId.map(id => read(id.stripPrefix("snap-").toLong))
-      case None      => None
-    }.takeWhile(_.isDefined).map(_.get)
+  def chain(m: Manifest): Iterator[Manifest] = new Iterator[Manifest] {
+    private var cur: Option[Manifest] = Option(m)
+    def hasNext: Boolean = cur.isDefined
+    def next(): Manifest = {
+      val c = cur.get
+      cur = if (c.checkpoint) None else c.parentId.map(id => read(id.stripPrefix("snap-").toLong))
+      c
+    }
+  }
+
+  /** Squash the chain into one checkpoint manifest holding the full
+    * committed-partition set and file lists — the snapshot-compaction step
+    * that keeps resume/read metadata O(1) in chain length at 10^12-row
+    * scale (⌈P/k⌉ delta manifests would otherwise make every HEAD read an
+    * O(P/k) walk). Metrics/sketches are already cumulative; `parentId`
+    * stays as lineage but the walk stops here.
+    */
+  def checkpoint(m: Manifest): Manifest = {
+    val tableNames = chain(m).flatMap(_.tables.keys).toSet
+    commit(
+      m.copy(
+        parentId = Some(m.snapshotId),
+        partitionsDelta = committedPartitions(m).toSeq.sorted,
+        // stored newest-first so tablePaths' chain-order reverse round-trips
+        tables = tableNames.map(t => t -> tablePaths(m, t).reverse).toMap,
+        checkpoint = true,
+        createdAtMs = System.currentTimeMillis()
+      )
+    )
+  }
 
   /** Full committed-partition set as of `m` (union of deltas up the chain) —
     * the resume checkpoint set of the north_rule.

@@ -130,6 +130,51 @@ class SnapshotSpec extends SparkSpec {
     assert(m.metrics.keys.exists(_.startsWith("task_ms_")), s"no task_ms_* in ${m.metrics.keys}")
   }
 
+  test("checkpoint squashes the chain: O(1) metadata walk, identical views, resume intact") {
+    val log = newLog()
+    val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
+    val m = job.run(inputFor, Seq(0, 1, 2))
+    assert(log.chain(m).size == 3)
+    val before = (
+      log.committedPartitions(m),
+      log.tablePaths(m, "valid"),
+      log.readTable(spark, m, "valid").count(),
+      m.metrics
+    )
+    val cp = log.checkpoint(m)
+    assert(cp.checkpoint && log.chain(cp).size == 1)
+    assert(log.committedPartitions(cp) == before._1)
+    assert(log.tablePaths(cp, "valid") == before._2)
+    assert(log.readTable(spark, cp, "valid").count() == before._3)
+    assert(cp.metrics == before._4)
+    assert(cp.parentId.contains(m.snapshotId)) // lineage preserved
+
+    // resume on the checkpointed log: only the new partition runs
+    var calls = Vector.empty[Int]
+    val m2 = new ValidationJob(spark, log, ImageConstraints.v1)
+      .run(p => { calls :+= p; inputFor(p) }, Seq(0, 1, 2, 3))
+    assert(calls == Vector(3))
+    assert(log.chain(m2).size == 2) // new delta + the checkpoint
+    assert(log.committedPartitions(m2) == Set(0, 1, 2, 3))
+  }
+
+  test("all-valid batch (the 201 path): empty violations table, zero rejected") {
+    import spark.implicits._
+    val log = newLog()
+    def goodInput(p: Int): DataFrame = {
+      val pl = p // no suite capture
+      spark.range(0, 50, 1, 2).map { i =>
+        (f"$i%08d-0000-4000-8000-${pl}%012d", Array.empty[Byte], 16, 16, "png", s"caption $i", i)
+      }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    }
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 2).run(goodInput, Seq(0, 1))
+    assert(m.metrics("n_success") == 100 && m.metrics("n_invalid") == 0 && m.metrics("n_error") == 0)
+    assert(m.metrics("violations_rejected") == 0)
+    assert(log.readTable(spark, m, "valid").count() == 100)
+    val vio = log.readTable(spark, m, "violations")
+    assert(vio.count() == 0 && vio.columns.contains("constraint_id")) // schema'd empty table
+  }
+
   test("violation suppression drops rows like a null mapToErrorEvent") {
     val log = newLog()
     val job = new ValidationJob(
