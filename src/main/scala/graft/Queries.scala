@@ -261,6 +261,40 @@ object Queries {
       .orderBy("stream")
   }
 
+  /** BPE-ish regex token counting (training-pipeline spec: "whitespace + a
+    * BPE-ish regex") — same RE2-safe pattern on both engines.
+    */
+  def q32BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        sum(TextOps.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        count(lit(1)).as("n_docs")
+      )
+      .orderBy("source")
+
+  /** Quality-metric components as exact integer sums (ratios are derived
+    * downstream; integers keep the DuckDB hash-compare FP-free).
+    */
+  def q33Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit(TextOps.AsciiPunctRe)).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
+        size(filter(TextOps.tokens(lower(col("text"))), tk => tk.isin(TextOps.EnglishStopwords: _*)))
+          .cast("long").as("n_stop")
+      )
+      .groupBy(col("source"))
+      .agg(
+        sum("n_chars").as("chars"),
+        sum("n_punct").as("punct"),
+        sum("n_alpha").as("alpha"),
+        sum("n_stop").as("stop_hits")
+      )
+      .orderBy("source")
+
   // ======================= rows-only (no SQL oracle) ======================
 
   def imgRollup(s: SparkSession): DataFrame = {
@@ -464,7 +498,9 @@ object Queries {
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
-    "q31_multi_stream" -> (q31MultiStream _)
+    "q31_multi_stream" -> (q31MultiStream _),
+    "q32_bpe_tokens" -> (q32BpeTokens _),
+    "q33_quality" -> (q33Quality _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -660,6 +696,22 @@ object Queries {
       """SELECT source,
                 array_to_string(list_transform(list_sort(list(DISTINCT lang)), l -> '''' || l || ''' seen'), ', ') AS errors_text
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q32_bpe_tokens" ->
+      """SELECT source,
+                CAST(SUM(len(list_filter(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'), t -> NOT regexp_matches(t, '^\s+$')))) AS BIGINT) AS bpe_tokens,
+                COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q33_quality" ->
+      """WITH d AS (
+           SELECT source, length(text) AS n_chars,
+                  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
+                  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'))) AS n_stop
+           FROM documents)
+         SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars, CAST(SUM(n_punct) AS BIGINT) AS punct,
+                CAST(SUM(n_alpha) AS BIGINT) AS alpha, CAST(SUM(n_stop) AS BIGINT) AS stop_hits
+         FROM d GROUP BY 1 ORDER BY 1""",
     "q30_cube" ->
       """SELECT COALESCE(event_type, '(all)') AS event_type,
                 COALESCE(CAST(user_bucket AS VARCHAR), '(all)') AS user_bucket,

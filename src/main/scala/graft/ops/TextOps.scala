@@ -18,6 +18,22 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish regex tokenizer (GPT-2-shaped alternation: contractions,
+    * letter runs, digit runs, punct runs, each optionally space-prefixed).
+    * Deliberately RE2-compatible — no lookarounds — so the SAME pattern
+    * runs under Java regex here and RE2 in the DuckDB oracle (q32).
+    */
+  val BpeTokenRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** Count of BPE-ish tokens (whitespace-run matches excluded). */
+  def bpeTokenCount(c: Column): Column =
+    size(filter(regexp_extract_all(c, lit(BpeTokenRe), lit(0)), t => !t.rlike("^\\s+$")))
+
+  /** ASCII punctuation as an explicit range class — identical semantics in
+    * Java regex and RE2 (`\p{Punct}` and `[[:punct:]]` diverge subtly).
+    */
+  val AsciiPunctRe = "[!-/:-@\\[-`{-~]"
+
   /** Character k-shingles (distinct). Text shorter than k → empty array. */
   def shingles(c: Column, k: Int): Column =
     when(length(c) < k, array().cast("array<string>"))
