@@ -69,6 +69,7 @@ final class ValidationJob(
     "hll_phash" -> Sketches.hllMerge,
     "td_w" -> Sketches.tdMerge,
     "td_h" -> Sketches.tdMerge,
+    "td_byte_size" -> Sketches.tdMerge,
     "freq_fmt" -> Sketches.freqStringMerge,
     "freq_phash" -> Sketches.freqLongMerge
   )
@@ -149,6 +150,9 @@ final class ValidationJob(
               Sketches.hllLong(when(ok, col("phash"))).as("hll_phash"),
               Sketches.tdigest(when(ok, col("w"))).as("td_w"),
               Sketches.tdigest(when(ok, col("h"))).as("td_h"),
+              // north_star names byte-size quantiles; bytes is already in
+              // the written row, so length() here adds no scan width
+              Sketches.tdigest(when(ok, length(col("bytes")))).as("td_byte_size"),
               Sketches.freqString(when(ok, col("fmt"))).as("freq_fmt"),
               Sketches.freqLong(when(ok, col("phash"))).as("freq_phash")
             )

@@ -114,6 +114,10 @@ class SnapshotSpec extends SparkSpec {
     val est = Sketches.hllEstimate(hll)
     val exact = log.readTable(spark, m, "valid").select("image_id").distinct().count()
     assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    // byte-size quantiles (north_star) accumulate too
+    val tdBs = java.util.Base64.getDecoder.decode(m.sketches("td_byte_size"))
+    val p50 = Sketches.tdQuantile(tdBs, 0.5)
+    assert(p50 > 0, s"byte-size median $p50")
     // lineage chain: parent ids link back
     val h = log.head.get
     assert(h.parentId.isDefined)
