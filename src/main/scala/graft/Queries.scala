@@ -295,6 +295,22 @@ object Queries {
       )
       .orderBy("source")
 
+  /** Heavy hitters from the frequent-items sketch (the north-star's fmt
+    * frequencies / hot-key detection): one narrow map-combined aggregation,
+    * top keys decoded driver-side. With distinct keys ≪ maxMapSize the
+    * sketch never purges, so estimates are EXACT and DuckDB's GROUP BY is a
+    * value-level oracle — the same property SkewJoin.detectHotLongKeys
+    * relies on for planted-key tests.
+    */
+  def q34HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fq = t(s, dir, "events")
+      .agg(Sketches.freqString(col("event_type"), 64).as("fq"))
+      .collect()(0).getAs[Array[Byte]]("fq")
+    Sketches.freqStringItems(fq).toDF("event_type", "est_count")
+      .orderBy(desc("est_count"), col("event_type"))
+  }
+
   // ======================= rows-only (no SQL oracle) ======================
 
   def imgRollup(s: SparkSession): DataFrame = {
@@ -500,7 +516,8 @@ object Queries {
     "q30_cube" -> (q30Cube _),
     "q31_multi_stream" -> (q31MultiStream _),
     "q32_bpe_tokens" -> (q32BpeTokens _),
-    "q33_quality" -> (q33Quality _)
+    "q33_quality" -> (q33Quality _),
+    "q34_heavy_hitters" -> (q34HeavyHitters _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -696,6 +713,9 @@ object Queries {
       """SELECT source,
                 array_to_string(list_transform(list_sort(list(DISTINCT lang)), l -> '''' || l || ''' seen'), ', ') AS errors_text
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q34_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS est_count
+         FROM events GROUP BY 1 ORDER BY 2 DESC, 1""",
     "q32_bpe_tokens" ->
       """SELECT source,
                 CAST(SUM(len(list_filter(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'), t -> NOT regexp_matches(t, '^\s+$')))) AS BIGINT) AS bpe_tokens,
