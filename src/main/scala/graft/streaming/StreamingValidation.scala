@@ -89,6 +89,89 @@ object StreamingValidation {
     )))
   }
 
+  /** Snapshot-committed MULTI-STREAM micro-batch gate — the closest analog
+    * of the reference service itself: an unbounded intake of heterogeneous
+    * events, each validated against its own declared constraint set and
+    * produced to its stream's destination
+    * (/root/reference/lib/factories/default-eventgate.js:132-152 routing +
+    * :242-278 per-topic produce), with each micro-batch's fan-out made
+    * atomic through one manifest. Idempotent on replay like
+    * [[processAndCommit]].
+    */
+  def processAndCommitMultiStream(
+      log: graft.table.SnapshotLog,
+      registry: graft.engine.ConstraintRegistry,
+      batch: DataFrame,
+      batchId: Long,
+      streamCol: String = "stream",
+      idField: String = "image_id"
+  ): Option[Manifest] = {
+    val head = log.head
+    if (head.exists(m => log.committedPartitions(m).contains(batchId.toInt))) return None
+
+    val res = new graft.engine.MultiStreamEngine(
+      registry,
+      EngineOptions(snapshotId = s"batch-$batchId", idField = idField),
+      streamCol
+    ).process(batch)
+    val tag = s"stream-$batchId"
+    val annotatedPath = log.dataDir(tag, "annotated")
+    val vioPath = log.dataDir(tag, "violations")
+    val rollPath = log.dataDir(tag, "rollups")
+    res.annotated.write.mode("overwrite").partitionBy("status", streamCol).parquet(annotatedPath)
+    res.violations.write.mode("overwrite").parquet(vioPath)
+    res.rollups.write.mode("overwrite").parquet(rollPath)
+    val roll = batch.sparkSession.read.parquet(rollPath)
+      .agg(
+        coalesce(sum("n_success"), lit(0L)),
+        coalesce(sum("n_invalid"), lit(0L)),
+        coalesce(sum("n_error"), lit(0L))
+      ).collect()(0)
+    val prev = head.map(_.metrics).getOrElse(Map.empty)
+    Some(log.commit(Manifest(
+      snapshotId = "",
+      sequence = 0L,
+      parentId = head.map(_.snapshotId),
+      constraintVersion = registry.sets.map(_.version).sorted.mkString(","),
+      partitionSpec = "stream-batch",
+      partitionsDelta = Seq(batchId.toInt),
+      complete = false,
+      tables = Map(
+        "annotated" -> Seq(annotatedPath),
+        "violations" -> Seq(vioPath),
+        "rollups" -> Seq(rollPath)
+      ),
+      metrics = Map(
+        "n_success" -> (prev.getOrElse("n_success", 0L) + roll.getLong(0)),
+        "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + roll.getLong(1)),
+        "n_error" -> (prev.getOrElse("n_error", 0L) + roll.getLong(2))
+      ),
+      sketches = head.map(_.sketches).getOrElse(Map.empty),
+      createdAtMs = System.currentTimeMillis()
+    )))
+  }
+
+  /** File stream of heterogeneous events → multi-stream snapshotted gate. */
+  def startMultiStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      registry: graft.engine.ConstraintRegistry,
+      log: graft.table.SnapshotLog,
+      checkpointDir: String,
+      streamCol: String = "stream",
+      idField: String = "image_id"
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAndCommitMultiStream(log, registry, batch, batchId, streamCol, idField)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** File stream → snapshot-committed gate (the durable streaming face). */
   def startSnapshotted(
       spark: SparkSession,

@@ -100,6 +100,46 @@ class StreamingSpec extends SparkSpec {
     assert(log.readTable(spark, log.head.get, "valid").count() == 2 * validBefore)
   }
 
+  test("multi-stream streaming gate: heterogeneous micro-batches, per-stream atomic fan-out") {
+    import spark.implicits._
+    import graft.constraint._
+    import graft.engine.ConstraintRegistry
+    val src = Files.createTempDirectory("graft_ms_src").toString
+    val ckpt = Files.createTempDirectory("graft_ms_ckpt").toString
+    val log = new graft.table.SnapshotLog(
+      Files.createTempDirectory("graft_ms_log").toString, spark.sparkContext.hadoopConfiguration)
+    val reg = ConstraintRegistry(
+      Seq(ConstraintSet("a/1", Seq.empty, Seq(NonNull("id"), MinLength("text", 5))),
+        ConstraintSet("b/1", Seq.empty, Seq(NonNull("id")))),
+      Map("alpha" -> "a/1", "beta" -> "b/1")
+    )
+    val rows = (0 until 300).map(i =>
+      (s"id$i", if (i % 10 == 0) "ab" else "long enough", if (i % 3 == 0) "alpha" else if (i % 3 == 1) "beta" else "gamma"))
+      .toDF("id", "text", "stream")
+    rows.write.mode("overwrite").parquet(src)
+
+    val q = StreamingValidation.startMultiStream(spark, src, rows.schema, reg, log, ckpt, idField = "id")
+    q.awaitTermination()
+
+    val head = log.head.get
+    // gamma is unrouted → schema-load errors; alpha short texts → invalid
+    assert(head.metrics("n_error") == 100) // i%3==2 count
+    assert(head.metrics("n_invalid") == 10) // i%10==0 && i%3==0
+    assert(head.metrics("n_success") == 190)
+    val ann = log.readTable(spark, head, "annotated")
+    val validStreams = ann.filter(col("status") === "success")
+      .select("stream").distinct().collect().map(_.getString(0)).toSet
+    assert(validStreams == Set("alpha", "beta"))
+    val vio = log.readTable(spark, head, "violations")
+    assert(vio.filter(col("stream") === "gamma").count() == 100)
+
+    // restart on same checkpoint: no duplicate commits
+    val seqBefore = head.sequence
+    val q2 = StreamingValidation.startMultiStream(spark, src, rows.schema, reg, log, ckpt, idField = "id")
+    q2.awaitTermination()
+    assert(log.head.get.sequence == seqBefore)
+  }
+
   test("watermarked windowed counts over an event stream") {
     val src = Files.createTempDirectory("graft_stream_ev").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode("overwrite").parquet(src)
