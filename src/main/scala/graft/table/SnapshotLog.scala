@@ -177,4 +177,23 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
+
+  /** Partition-pruned read: commits whose delta doesn't intersect `wanted`
+    * contribute NO paths — SURVEY §4's "pruning is explicit file-list
+    * construction, not a post-scan filter". The residual in-commit filter
+    * only narrows multi-partition batch files.
+    *
+    * Checkpoint manifests carry the full partition set, so they never prune
+    * (the trade of O(1) metadata); prune-heavy readers should read a
+    * pre-checkpoint manifest or keep delta chains.
+    */
+  def readTableForPartitions(spark: SparkSession, m: Manifest, table: String, wanted: Set[Int]): DataFrame = {
+    val paths = chain(m)
+      .filter(_.partitionsDelta.exists(wanted))
+      .flatMap(_.tables.getOrElse(table, Seq.empty))
+      .toSeq.reverse
+    require(paths.nonEmpty, s"table $table has no data for partitions $wanted in ${m.snapshotId}")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .filter(org.apache.spark.sql.functions.col("partition_id").isin(wanted.toSeq: _*))
+  }
 }

@@ -134,6 +134,21 @@ class SnapshotSpec extends SparkSpec {
     assert(m.metrics.keys.exists(_.startsWith("task_ms_")), s"no task_ms_* in ${m.metrics.keys}")
   }
 
+  test("manifest-level partition pruning: non-matching commits contribute no scan legs") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    val pruned = log.readTableForPartitions(spark, m, "rollups", Set(2))
+    assert(pruned.select("partition_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // explicit file-list pruning: of the 4 commits, only partition 2's
+    // commit contributes a path — one scan leg in the plan, not four
+    val scans = pruned.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"expected 1 scan leg, got $scans")
+    val full = log.readTableForPartitions(spark, m, "valid", Set(1, 3)).count()
+    assert(full == log.readTable(spark, m, "valid")
+      .filter(col("partition_id").isin(1, 3)).count())
+  }
+
   test("checkpoint squashes the chain: O(1) metadata walk, identical views, resume intact") {
     val log = newLog()
     val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
