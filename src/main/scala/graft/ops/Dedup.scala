@@ -117,13 +117,14 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-duplicate pairs: 4×16-bit band buckets, verified by
-    * Hamming distance ≤ maxHamming.
+  /** Near-duplicate pairs of any 64-bit similarity signature: 4×16-bit band
+    * buckets (pigeonhole: hamming ≤ 3 guarantees one identical band),
+    * verified by exact Hamming distance ≤ maxHamming. The shared kernel of
+    * [[simhashPairs]] (text) and [[phashPairs]] (images).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def signaturePairs(sigs0: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding only guarantees recall for hamming <= 3")
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = capBuckets(
       sigs.select(
         col("id"),
@@ -141,6 +142,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-duplicate pairs over text. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    signaturePairs(
+      df.select(col(idCol).as("id"), TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Perceptual-hash near-duplicate IMAGE pairs: the same banding over a
+    * precomputed 64-bit phash column — the image-payload dedup of the
+    * training-pipeline spec. The generator plants hot phashes, so the
+    * bucket cap is load-bearing here exactly as for degenerate text.
+    */
+  def phashPairs(df: DataFrame, idCol: String, phashCol: String, maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    signaturePairs(df.select(col(idCol).as("id"), col(phashCol).as("sig")), maxHamming, maxBucket)
 
   /** N-gram Jaccard similarity of all candidate pairs from a band-key join
     * at a LOW threshold — the exhaustive verify path used when the caller

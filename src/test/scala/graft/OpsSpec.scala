@@ -133,6 +133,22 @@ class OpsSpec extends SparkSpec {
     (0L until 5L).foreach { i => assert(found.contains((i, i + 100000)), s"missing planted pair $i in $found") }
   }
 
+  test("phash near-dup pairs: planted 1-bit neighbors found, far hashes skipped, hot buckets capped") {
+    val base = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdeeL), // 1 bit from id 1
+      (3L, 0x0123456789abcdefL ^ 0x7L), // 3 bits from id 1
+      (4L, 0xfedcba9876543210L) // far
+    )
+    val hot = (100L until 700L).map(i => (i, 0x1111111111111111L)) // one hot phash bucket
+    val df = (base ++ hot).toDF("image_id", "phash")
+    val pairs = Dedup.phashPairs(df, "image_id", "phash", maxHamming = 3, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 >= 100L), s"hot bucket not capped: ${pairs.size} pairs")
+  }
+
   test("cosine matches a scala reference") {
     val df = Seq((Seq(1.0f, 0f, 0f), Seq(0.6f, 0.8f, 0f))).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0)
