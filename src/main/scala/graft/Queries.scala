@@ -360,6 +360,18 @@ object Queries {
     Seq((r.orphanImages, r.danglingCaptions, r.pass)).toDF("orphan_images", "dangling_captions", "pass")
   }
 
+  /** Image near-dup via perceptual-hash banding (the generator plants
+    * duplicate/hot phashes): pair counts per Hamming distance.
+    */
+  def imgNearDup(s: SparkSession): DataFrame =
+    Dedup
+      .phashPairs(
+        SyntheticImages.images(s, 3000, 4).toDF().select(col("image_id"), col("phash")),
+        "image_id", "phash", maxHamming = 3, maxBucket = 200)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+
   def imgFeatures(s: SparkSession): DataFrame = {
     val imgs = SyntheticImages.images(s, 500, 4).toDF()
     imgs
@@ -527,6 +539,7 @@ object Queries {
     "img_drift" -> ((s, _) => imgDrift(s)),
     "img_referential" -> ((s, _) => imgReferential(s)),
     "img_features" -> ((s, _) => imgFeatures(s)),
+    "img_near_dup" -> ((s, _) => imgNearDup(s)),
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
     "q22_ngram_jaccard" -> (qNgramJaccard _),
