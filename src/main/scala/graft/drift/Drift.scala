@@ -64,6 +64,33 @@ object Drift {
     def pass: Boolean = scores.forall(_.pass)
   }
 
+  /** Drift between two COMMITTED SNAPSHOTS, scored straight off the
+    * manifests' merged sketch state — the north_rule's "drift against a
+    * baseline snapshot" with zero data reads: both sides are the
+    * O(KB) sketch blobs the jobs committed atomically with their outputs.
+    */
+  def reportFromManifests(
+      baseline: graft.table.Manifest,
+      current: graft.table.Manifest,
+      ksMax: Double = 0.1,
+      psiMax: Double = 0.1
+  ): DriftReport = report(profileOf(baseline), profileOf(current), ksMax, psiMax)
+
+  private def profileOf(m: graft.table.Manifest): SketchProfile = {
+    def b64(k: String): Array[Byte] = java.util.Base64.getDecoder.decode(
+      m.sketches.getOrElse(k, throw new IllegalArgumentException(s"manifest ${m.snapshotId} has no sketch '$k'")))
+    SketchProfile(
+      nRows = m.metrics.getOrElse("n_success", 0L),
+      hllImageId = b64("hll_image_id"),
+      hllPhash = b64("hll_phash"),
+      tdW = b64("td_w"),
+      tdH = b64("td_h"),
+      tdByteSize = m.sketches.get("td_byte_size").map(java.util.Base64.getDecoder.decode),
+      freqFmt = b64("freq_fmt"),
+      freqPhash = b64("freq_phash")
+    )
+  }
+
   /** Full drift check of a snapshot profile vs a baseline profile
     * (north_rule `drift(w,h,bytes,fmt)`): KS + PSI on w/h (+ byte size when
     * profiled), PSI on the fmt mix.

@@ -123,6 +123,25 @@ class SnapshotSpec extends SparkSpec {
     assert(h.parentId.isDefined)
   }
 
+  test("snapshot-to-snapshot drift scored from committed manifest sketches (no data read)") {
+    import spark.implicits._
+    def driftedInput(p: Int): DataFrame = {
+      val (pLocal, mod) = (p.toLong, P.toLong)
+      spark.range(0, N, 1, 2).as[Long]
+        .filter(i => (i % mod) == pLocal)
+        .map(i => SyntheticImages.rowOf(i, drift = true, contentPool = 0))
+        .toDF()
+    }
+    val logA = newLog(); val logB = newLog(); val logC = newLog()
+    val base = new ValidationJob(spark, logA, ImageConstraints.v1).run(inputFor, Seq(0, 1))
+    val same = new ValidationJob(spark, logB, ImageConstraints.v1).run(inputFor, Seq(0, 1))
+    val drifted = new ValidationJob(spark, logC, ImageConstraints.v1).run(driftedInput, Seq(0, 1))
+    val stable = graft.drift.Drift.reportFromManifests(base, same)
+    assert(stable.pass, s"same-distribution snapshots flagged: ${stable.scores.filterNot(_.pass)}")
+    val moved = graft.drift.Drift.reportFromManifests(base, drifted)
+    assert(!moved.pass, s"drifted snapshot not flagged: ${moved.scores}")
+  }
+
   test("per-phase duration metrics are committed atomically with the manifest") {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 4).run(inputFor, Seq(0, 1, 2, 3))
