@@ -53,22 +53,55 @@ object StreamingValidation {
   def processAndCommit(log: SnapshotLog, cs: ConstraintSet, batch: DataFrame, batchId: Long): Option[Manifest] = {
     val head = log.head
     if (head.exists(m => log.committedPartitions(m).contains(batchId.toInt))) return None
+    if (batch.isEmpty) return None // empty body -> 400 analog: nothing to produce
 
-    val res = new ValidationEngine(cs, EngineOptions(snapshotId = s"batch-$batchId")).process(batch)
+    val spark = batch.sparkSession
+    val snapshotId = s"batch-$batchId"
+    val res = new ValidationEngine(cs, EngineOptions(snapshotId = snapshotId)).process(batch)
     val tag = s"stream-$batchId"
-    val validPath = log.dataDir(tag, "valid")
+    val annotatedPath = log.dataDir(tag, "annotated")
     val vioPath = log.dataDir(tag, "violations")
     val rollPath = log.dataDir(tag, "rollups")
-    res.valid.write.mode("overwrite").parquet(validPath)
-    res.violations.write.mode("overwrite").parquet(vioPath)
-    res.rollups.write.mode("overwrite").parquet(rollPath)
-    val roll = res.rollups // already written; tiny re-read for the counters
-      .sparkSession.read.parquet(rollPath)
+
+    // ONE pass over the micro-batch (the batch job's produce shape): the
+    // annotated frame is written partitioned by status; everything else
+    // derives from the written table, not from re-running the pipeline.
+    res.annotated.drop("_decode")
+      .write.mode("overwrite").partitionBy("status").parquet(annotatedPath)
+    val ann = spark.read.parquet(annotatedPath) // (status back as partition col)
+    val rollups = ann
+      .groupBy(col("partition_id"))
+      .agg(
+        count(when(col("status") === graft.model.Status.Success, 1)).as("n_success"),
+        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_invalid"),
+        count(when(col("status") === graft.model.Status.Error, 1)).as("n_error")
+      )
+      .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
+        col("n_success"), col("n_invalid"), col("n_error"))
+    rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
+    val roll = spark.read.parquet(rollPath)
       .agg(
         coalesce(sum("n_success"), lit(0L)),
         coalesce(sum("n_invalid"), lit(0L)),
         coalesce(sum("n_error"), lit(0L))
       ).collect()(0)
+    val (nS, nI, nE) = (roll.getLong(0), roll.getLong(1), roll.getLong(2))
+
+    val failingDirs = Seq(graft.model.Status.Invalid -> nI, graft.model.Status.Error -> nE)
+      .collect { case (st, n) if n > 0 => s"$annotatedPath/status=$st" }
+    val vio =
+      if (failingDirs.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          ValidationEngine.violationRowSchema)
+      else
+        ValidationEngine.violationRows(
+          spark.read.option("basePath", annotatedPath).parquet(failingDirs: _*),
+          snapshotId, "image_id")
+    vio.write.mode("overwrite").parquet(vioPath)
+
+    val validPaths =
+      if (nS > 0) Seq(s"$annotatedPath/status=${graft.model.Status.Success}") else Seq.empty[String]
     val prev = head.map(_.metrics).getOrElse(Map.empty)
     Some(log.commit(Manifest(
       snapshotId = "",
@@ -78,11 +111,16 @@ object StreamingValidation {
       partitionSpec = "stream-batch",
       partitionsDelta = Seq(batchId.toInt),
       complete = false, // a stream is never complete
-      tables = Map("valid" -> Seq(validPath), "violations" -> Seq(vioPath), "rollups" -> Seq(rollPath)),
+      tables = Map(
+        "valid" -> validPaths,
+        "annotated" -> Seq(annotatedPath),
+        "violations" -> Seq(vioPath),
+        "rollups" -> Seq(rollPath)
+      ),
       metrics = Map(
-        "n_success" -> (prev.getOrElse("n_success", 0L) + roll.getLong(0)),
-        "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + roll.getLong(1)),
-        "n_error" -> (prev.getOrElse("n_error", 0L) + roll.getLong(2))
+        "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
+        "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),
+        "n_error" -> (prev.getOrElse("n_error", 0L) + nE)
       ),
       sketches = head.map(_.sketches).getOrElse(Map.empty),
       createdAtMs = System.currentTimeMillis()
@@ -108,20 +146,37 @@ object StreamingValidation {
   ): Option[Manifest] = {
     val head = log.head
     if (head.exists(m => log.committedPartitions(m).contains(batchId.toInt))) return None
+    if (batch.isEmpty) return None // empty body -> 400 analog: nothing to produce
 
+    val spark = batch.sparkSession
+    val snapshotId = s"batch-$batchId"
     val res = new graft.engine.MultiStreamEngine(
       registry,
-      EngineOptions(snapshotId = s"batch-$batchId", idField = idField),
+      EngineOptions(snapshotId = snapshotId, idField = idField),
       streamCol
     ).process(batch)
     val tag = s"stream-$batchId"
     val annotatedPath = log.dataDir(tag, "annotated")
     val vioPath = log.dataDir(tag, "violations")
     val rollPath = log.dataDir(tag, "rollups")
+    // ONE pass: annotated written routed per (status, stream); rollups and
+    // violations derive from the written table (partition-pruned reads).
     res.annotated.write.mode("overwrite").partitionBy("status", streamCol).parquet(annotatedPath)
-    res.violations.write.mode("overwrite").parquet(vioPath)
-    res.rollups.write.mode("overwrite").parquet(rollPath)
-    val roll = batch.sparkSession.read.parquet(rollPath)
+    val ann = spark.read.parquet(annotatedPath)
+    ann
+      .groupBy(col(streamCol).as("stream"), col("partition_id"))
+      .agg(
+        count(when(col("status") === graft.model.Status.Success, 1)).as("n_success"),
+        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_invalid"),
+        count(when(col("status") === graft.model.Status.Error, 1)).as("n_error")
+      )
+      .select(lit(snapshotId).as("snapshot_id"), col("stream"), col("partition_id"),
+        col("n_success"), col("n_invalid"), col("n_error"))
+      .coalesce(1).write.mode("overwrite").parquet(rollPath)
+    graft.engine.MultiStreamEngine
+      .violationRows(ann.filter(col("status") =!= graft.model.Status.Success), snapshotId, idField, streamCol)
+      .write.mode("overwrite").parquet(vioPath)
+    val roll = spark.read.parquet(rollPath)
       .agg(
         coalesce(sum("n_success"), lit(0L)),
         coalesce(sum("n_invalid"), lit(0L)),
