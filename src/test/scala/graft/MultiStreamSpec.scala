@@ -177,6 +177,80 @@ class MultiStreamSpec extends SparkSpec {
     assert(calls.isEmpty && m2.snapshotId == m.snapshotId)
   }
 
+  test("regex route keys match; exact beats regex; unroutable stays error (stream-config.test.yaml:1-8)") {
+    // Slash-wrapped keys are regexes (event-util.js:89-97, unanchored test);
+    // the exact key "mediawiki.special" must win over the regex covering it.
+    val reg = ConstraintRegistry(
+      Seq(strictSet, laxSet),
+      routes = Map(
+        "mediawiki.special" -> "doc/2.0.0",
+        "/^mediawiki\\..+/" -> "doc/1.0.0"
+      )
+    )
+    assert(reg.resolve("mediawiki.special").map(_.version).contains("doc/2.0.0"))
+    assert(reg.resolve("mediawiki.revision_create").map(_.version).contains("doc/1.0.0"))
+    assert(reg.resolve("eventlogging.click").isEmpty)
+
+    val df = Seq(
+      ("a", "short", null, "mediawiki.special"), // strict: invalid (MinLength)
+      ("b", "short", null, "mediawiki.revision_create"), // regex → lax: success
+      ("c", "short", null, "eventlogging.click") // unroutable: error
+    ).toDF("doc_id", "text", "source", "stream")
+    val res = new MultiStreamEngine(reg, EngineOptions(snapshotId = "rx", idField = "doc_id")).process(df)
+    val status = res.annotated.select("doc_id", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(status("a") == Status.Invalid)
+    assert(status("b") == Status.Success)
+    assert(status("c") == Status.Error)
+  }
+
+  test("base-URI fallback resolution chain (uriGetFirstObject, default-eventgate.js:167-189)") {
+    // Routes registered under fully-resolved URIs; events carry relative
+    // schema paths. Resolution tries each base in order + appends the file
+    // extension when missing; FIRST registered candidate wins.
+    val reg = ConstraintRegistry(
+      Seq(strictSet, laxSet),
+      routes = Map(
+        "file:///srv/schemas/doc/2.0.0.yaml" -> "doc/2.0.0",
+        "https://schemas.example.org/repos/doc/1.0.0.yaml" -> "doc/1.0.0"
+      ),
+      baseUris = Seq("file:///srv/schemas", "https://schemas.example.org/repos"),
+      uriExtension = ".yaml"
+    )
+    // first base hit wins
+    assert(reg.resolve("/doc/2.0.0").map(_.version).contains("doc/2.0.0"))
+    // falls through to the second base
+    assert(reg.resolve("doc/1.0.0").map(_.version).contains("doc/1.0.0"))
+    // extension already present → not doubled
+    assert(reg.resolve("doc/1.0.0.yaml").map(_.version).contains("doc/1.0.0"))
+    // absolute registered URI resolves as an exact key (dual-key cache)
+    assert(reg.resolve("file:///srv/schemas/doc/2.0.0.yaml").map(_.version).contains("doc/2.0.0"))
+    assert(reg.resolve("doc/9.9.9").isEmpty)
+  }
+
+  test("process() derives stream from the schema-URI column when the stream field is absent") {
+    // makeExtractStream: stream_field when present, else sanitized schema
+    // URI (default-eventgate.js:132-152) — wired through dispatch so URI-only
+    // events route, and the resolved stream lands in rollups/output.
+    val reg = ConstraintRegistry(
+      Seq(laxSet),
+      routes = Map("cool_schema_uri" -> "doc/1.0.0", "explicit_stream" -> "doc/1.0.0")
+    )
+    val df = Seq(
+      ("a", "some text", "src", "explicit_stream", "/cool/schema/uri"),
+      ("b", "some text", "src", null, "/cool/schema/uri"),
+      ("c", "some text", "src", null, "/unknown!uri")
+    ).toDF("doc_id", "text", "source", "stream", "schema_uri")
+    val res = new MultiStreamEngine(
+      reg, EngineOptions(snapshotId = "uri", idField = "doc_id"), schemaUriCol = Some("schema_uri")
+    ).process(df)
+    val byId = res.annotated.select("doc_id", "stream", "status").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(byId("a") == ("explicit_stream", Status.Success))
+    assert(byId("b") == ("cool_schema_uri", Status.Success)) // sanitized URI routed
+    assert(byId("c")._2 == Status.Error) // sanitized but unregistered
+  }
+
   test("stream extraction + sanitization parity (default-eventgate.js:132-152)") {
     val df = Seq(
       (Some("explicit_stream"), "/cool/schema/uri"),
