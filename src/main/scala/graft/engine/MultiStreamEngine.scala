@@ -219,7 +219,9 @@ final class MultiStreamEngine(
     * /root/reference/lib/factories/default-eventgate.js:307-330).
     */
   def writeByStream(valid: DataFrame, path: String): Unit =
-    valid.write.mode("overwrite").partitionBy(streamCol).parquet(path)
+    valid
+      .withColumn("streamd", col(streamCol)) // dir routing; real column stays in data
+      .write.mode("overwrite").partitionBy("streamd").parquet(path)
 }
 
 object MultiStreamEngine {

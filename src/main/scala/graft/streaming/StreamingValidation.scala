@@ -50,26 +50,51 @@ object StreamingValidation {
     * a batch id already in the chain is skipped, so foreachBatch's
     * at-least-once re-delivery after restart stays exactly-once-visible.
     */
-  def processAndCommit(log: SnapshotLog, cs: ConstraintSet, batch: DataFrame, batchId: Long): Option[Manifest] = {
+  def processAndCommit(
+      log: SnapshotLog,
+      cs: ConstraintSet,
+      batch: DataFrame,
+      batchId: Long,
+      checkpointId: String = "default"
+  ): Option[Manifest] = {
     val head = log.head
-    if (head.exists(m => log.committedPartitions(m).contains(batchId.toInt))) return None
+    // Replay idempotency keys on (checkpoint identity, Long batch id): a
+    // recreated checkpoint dir restarts batch ids at 0 — give it a new
+    // checkpointId and its batches commit instead of aliasing old ones.
+    if (head.exists(m => log.committedStreamBatches(m, checkpointId).contains(batchId))) return None
     if (batch.isEmpty) return None // empty body -> 400 analog: nothing to produce
 
     val spark = batch.sparkSession
     val snapshotId = s"batch-$batchId"
     val res = new ValidationEngine(cs, EngineOptions(snapshotId = snapshotId)).process(batch)
-    val tag = s"stream-$batchId"
+    val tag = s"stream-$checkpointId-$batchId"
     val annotatedPath = log.dataDir(tag, "annotated")
     val vioPath = log.dataDir(tag, "violations")
     val rollPath = log.dataDir(tag, "rollups")
 
     // ONE pass over the micro-batch (the batch job's produce shape): the
-    // annotated frame is written partitioned by status; everything else
-    // derives from the written table, not from re-running the pipeline.
+    // annotated frame is written routed by statusd (status stays a data
+    // column) with batch totals observed during the same job; rollups and
+    // violations derive from the written table, not a pipeline re-run.
+    val totalsObs = org.apache.spark.sql.Observation(s"sv_$tag")
     res.annotated.drop("_decode")
-      .write.mode("overwrite").partitionBy("status").parquet(annotatedPath)
-    val ann = spark.read.parquet(annotatedPath) // (status back as partition col)
-    val rollups = ann
+      .observe(
+        totalsObs,
+        count(when(col("status") === graft.model.Status.Success, 1)).as("n_s"),
+        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_i"),
+        count(when(col("status") === graft.model.Status.Error, 1)).as("n_e")
+      )
+      .withColumn("statusd", col("status"))
+      .write.mode("overwrite").partitionBy("statusd").parquet(annotatedPath)
+    val totals = totalsObs.get
+    val (nS, nI, nE) = (
+      totals("n_s").asInstanceOf[Long],
+      totals("n_i").asInstanceOf[Long],
+      totals("n_e").asInstanceOf[Long]
+    )
+
+    val ann = log.readPaths(spark, Seq(annotatedPath)) // nonempty: batch.isEmpty guarded above
+    ann
       .groupBy(col("partition_id"))
       .agg(
         count(when(col("status") === graft.model.Status.Success, 1)).as("n_success"),
@@ -78,30 +103,21 @@ object StreamingValidation {
       )
       .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
         col("n_success"), col("n_invalid"), col("n_error"))
-    rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
-    val roll = spark.read.parquet(rollPath)
-      .agg(
-        coalesce(sum("n_success"), lit(0L)),
-        coalesce(sum("n_invalid"), lit(0L)),
-        coalesce(sum("n_error"), lit(0L))
-      ).collect()(0)
-    val (nS, nI, nE) = (roll.getLong(0), roll.getLong(1), roll.getLong(2))
+      .coalesce(1).write.mode("overwrite").parquet(rollPath)
 
     val failingDirs = Seq(graft.model.Status.Invalid -> nI, graft.model.Status.Error -> nE)
-      .collect { case (st, n) if n > 0 => s"$annotatedPath/status=$st" }
+      .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
     val vio =
       if (failingDirs.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           ValidationEngine.violationRowSchema)
       else
-        ValidationEngine.violationRows(
-          spark.read.option("basePath", annotatedPath).parquet(failingDirs: _*),
-          snapshotId, "image_id")
+        ValidationEngine.violationRows(log.readPaths(spark, failingDirs), snapshotId, "image_id")
     vio.write.mode("overwrite").parquet(vioPath)
 
     val validPaths =
-      if (nS > 0) Seq(s"$annotatedPath/status=${graft.model.Status.Success}") else Seq.empty[String]
+      if (nS > 0) Seq(s"$annotatedPath/statusd=${graft.model.Status.Success}") else Seq.empty[String]
     val prev = head.map(_.metrics).getOrElse(Map.empty)
     Some(log.commit(Manifest(
       snapshotId = "",
@@ -109,12 +125,12 @@ object StreamingValidation {
       parentId = head.map(_.snapshotId),
       constraintVersion = cs.version,
       partitionSpec = "stream-batch",
-      partitionsDelta = Seq(batchId.toInt),
+      partitionsDelta = Seq.empty,
       complete = false, // a stream is never complete
       tables = Map(
         "valid" -> validPaths,
         "annotated" -> Seq(annotatedPath),
-        "violations" -> Seq(vioPath),
+        "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
       metrics = Map(
@@ -123,7 +139,8 @@ object StreamingValidation {
         "n_error" -> (prev.getOrElse("n_error", 0L) + nE)
       ),
       sketches = head.map(_.sketches).getOrElse(Map.empty),
-      createdAtMs = System.currentTimeMillis()
+      createdAtMs = System.currentTimeMillis(),
+      streamBatches = Map(checkpointId -> Seq(batchId))
     )))
   }
 
@@ -142,10 +159,11 @@ object StreamingValidation {
       batch: DataFrame,
       batchId: Long,
       streamCol: String = "stream",
-      idField: String = "image_id"
+      idField: String = "image_id",
+      checkpointId: String = "default"
   ): Option[Manifest] = {
     val head = log.head
-    if (head.exists(m => log.committedPartitions(m).contains(batchId.toInt))) return None
+    if (head.exists(m => log.committedStreamBatches(m, checkpointId).contains(batchId))) return None
     if (batch.isEmpty) return None // empty body -> 400 analog: nothing to produce
 
     val spark = batch.sparkSession
@@ -155,14 +173,31 @@ object StreamingValidation {
       EngineOptions(snapshotId = snapshotId, idField = idField),
       streamCol
     ).process(batch)
-    val tag = s"stream-$batchId"
+    val tag = s"stream-$checkpointId-$batchId"
     val annotatedPath = log.dataDir(tag, "annotated")
     val vioPath = log.dataDir(tag, "violations")
     val rollPath = log.dataDir(tag, "rollups")
-    // ONE pass: annotated written routed per (status, stream); rollups and
-    // violations derive from the written table (partition-pruned reads).
-    res.annotated.write.mode("overwrite").partitionBy("status", streamCol).parquet(annotatedPath)
-    val ann = spark.read.parquet(annotatedPath)
+    // ONE pass: annotated written routed per (statusd, streamd) with batch
+    // totals observed during the write; rollups and violations derive from
+    // the written table (explicit failing-directory reads).
+    val totalsObs = org.apache.spark.sql.Observation(s"svm_$tag")
+    res.annotated
+      .observe(
+        totalsObs,
+        count(when(col("status") === graft.model.Status.Success, 1)).as("n_s"),
+        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_i"),
+        count(when(col("status") === graft.model.Status.Error, 1)).as("n_e")
+      )
+      .withColumn("statusd", col("status"))
+      .withColumn("streamd", col(streamCol))
+      .write.mode("overwrite").partitionBy("statusd", "streamd").parquet(annotatedPath)
+    val totals = totalsObs.get
+    val (nS, nI, nE) = (
+      totals("n_s").asInstanceOf[Long],
+      totals("n_i").asInstanceOf[Long],
+      totals("n_e").asInstanceOf[Long]
+    )
+    val ann = log.readPaths(spark, Seq(annotatedPath))
     ann
       .groupBy(col(streamCol).as("stream"), col("partition_id"))
       .agg(
@@ -173,15 +208,12 @@ object StreamingValidation {
       .select(lit(snapshotId).as("snapshot_id"), col("stream"), col("partition_id"),
         col("n_success"), col("n_invalid"), col("n_error"))
       .coalesce(1).write.mode("overwrite").parquet(rollPath)
+    val failingDirs = Seq(graft.model.Status.Invalid -> nI, graft.model.Status.Error -> nE)
+      .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+    val failing = if (failingDirs.isEmpty) ann.limit(0) else log.readPaths(spark, failingDirs)
     graft.engine.MultiStreamEngine
-      .violationRows(ann.filter(col("status") =!= graft.model.Status.Success), snapshotId, idField, streamCol)
+      .violationRows(failing, snapshotId, idField, streamCol)
       .write.mode("overwrite").parquet(vioPath)
-    val roll = spark.read.parquet(rollPath)
-      .agg(
-        coalesce(sum("n_success"), lit(0L)),
-        coalesce(sum("n_invalid"), lit(0L)),
-        coalesce(sum("n_error"), lit(0L))
-      ).collect()(0)
     val prev = head.map(_.metrics).getOrElse(Map.empty)
     Some(log.commit(Manifest(
       snapshotId = "",
@@ -189,21 +221,44 @@ object StreamingValidation {
       parentId = head.map(_.snapshotId),
       constraintVersion = registry.sets.map(_.version).sorted.mkString(","),
       partitionSpec = "stream-batch",
-      partitionsDelta = Seq(batchId.toInt),
+      partitionsDelta = Seq.empty,
       complete = false,
       tables = Map(
+        "valid" -> (if (nS > 0) Seq(s"$annotatedPath/statusd=${graft.model.Status.Success}") else Seq.empty),
         "annotated" -> Seq(annotatedPath),
-        "violations" -> Seq(vioPath),
+        "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
       metrics = Map(
-        "n_success" -> (prev.getOrElse("n_success", 0L) + roll.getLong(0)),
-        "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + roll.getLong(1)),
-        "n_error" -> (prev.getOrElse("n_error", 0L) + roll.getLong(2))
+        "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
+        "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),
+        "n_error" -> (prev.getOrElse("n_error", 0L) + nE)
       ),
       sketches = head.map(_.sketches).getOrElse(Map.empty),
-      createdAtMs = System.currentTimeMillis()
+      createdAtMs = System.currentTimeMillis(),
+      streamBatches = Map(checkpointId -> Seq(batchId))
     )))
+  }
+
+  /** Durable identity of a streaming checkpoint INSTANCE: a UUID minted on
+    * first use and stored inside the checkpoint dir. Deleting and
+    * recreating the dir (which restarts batch ids at 0) mints a new
+    * identity, so replay-idempotency never aliases the old id space.
+    */
+  def checkpointIdentity(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-identity")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, false)
+      try out.write(id.getBytes("UTF-8"))
+      finally out.close()
+      id
+    }
   }
 
   /** File stream of heterogeneous events → multi-stream snapshotted gate. */
@@ -216,16 +271,18 @@ object StreamingValidation {
       checkpointDir: String,
       streamCol: String = "stream",
       idField: String = "image_id"
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    val ckId = checkpointIdentity(spark, checkpointDir)
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processAndCommitMultiStream(log, registry, batch, batchId, streamCol, idField)
+        processAndCommitMultiStream(log, registry, batch, batchId, streamCol, idField, ckId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** File stream → snapshot-committed gate (the durable streaming face). */
   def startSnapshotted(
@@ -236,10 +293,11 @@ object StreamingValidation {
       log: SnapshotLog,
       checkpointDir: String
   ): StreamingQuery = {
+    val ckId = checkpointIdentity(spark, checkpointDir)
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processAndCommit(log, cs, batch, batchId)
+        processAndCommit(log, cs, batch, batchId, ckId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -16,12 +16,15 @@ import graft.model.Status
   * or not at all.
   *
   * Execution shape per batch of `commitBatch` partitions:
-  *  1. ONE full pass writes the annotated frame partitioned by
-  *     (status, stream) — the valid table is the status=success subtree,
-  *     already laid out one directory per stream.
+  *  1. ONE full pass writes the annotated frame routed by
+  *     (statusd, streamd) directories — the valid table is the
+  *     statusd=success subtree, already laid out one directory per
+  *     stream — while an attached Observation collects the batch's status
+  *     totals during the same job.
   *  2. Rollups per (stream, partition) aggregate over the WRITTEN annotated
-  *     table — a columnar re-read that touches only the partition
-  *     directories plus one narrow column, not the data.
+  *     table — a columnar re-read of three narrow columns, the only
+  *     post-write pass (per-(stream,partition) counts are
+  *     stream-value-dependent, so a global Observation can't carry them).
   *  3. Violations are derived from the written failing slice only and
   *     re-ingested through the error-schema gate
   *     (/root/reference/lib/eventgate.js:243-270).
@@ -66,15 +69,38 @@ final class MultiStreamValidationJob(
       val vioPath = log.dataDir(tag, "violations")
       val rollPath = log.dataDir(tag, "rollups")
 
-      // 1. the single full pass, routed by (status, stream)
+      // 1. the single full pass, routed by (status, stream) directory
+      // columns (statusd/streamd duplicates keep the real columns in data —
+      // SnapshotLog.readPaths explains). Per-batch totals ride the same
+      // write via Observation, so no output re-read is needed for counts
+      // (per-(stream,partition) rollups are stream-value-dependent and
+      // can't be observed globally; they aggregate over the written table's
+      // three narrow columns below).
+      val totalsObs = Observation(s"ms_$tag")
       phase("write_annotated") {
         res.annotated.drop("_pid")
-          .write.mode("overwrite").partitionBy("status", streamCol).parquet(annotatedPath)
+          .observe(
+            totalsObs,
+            count(when(col("status") === Status.Success, 1)).as("n_s"),
+            count(when(col("status") === Status.Invalid, 1)).as("n_i"),
+            count(when(col("status") === Status.Error, 1)).as("n_e")
+          )
+          .withColumn("statusd", col("status"))
+          .withColumn("streamd", col(streamCol))
+          .write.mode("overwrite").partitionBy("statusd", "streamd").parquet(annotatedPath)
       }
+      val totals = totalsObs.get
+      val (nS, nI, nE) = (
+        totals("n_s").asInstanceOf[Long],
+        totals("n_i").asInstanceOf[Long],
+        totals("n_e").asInstanceOf[Long]
+      )
 
-      // 2. rollups from the WRITTEN table: (status, stream) come back as
-      // partition columns, so this scan reads one narrow data column.
-      val ann = spark.read.parquet(annotatedPath)
+      // 2. rollups per (stream, partition) from the written table — one
+      // columnar scan over (stream, partition_id, status) only.
+      val ann =
+        if (nS + nI + nE > 0) log.readPaths(spark, Seq(annotatedPath))
+        else res.annotated.drop("_pid").limit(0)
       val rollups = ann
         .groupBy(col(streamCol).as("stream"), col("partition_id"))
         .agg(
@@ -87,16 +113,13 @@ final class MultiStreamValidationJob(
       phase("write_rollups") {
         rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
       }
-      val counts = spark.read.parquet(rollPath)
-        .agg(
-          coalesce(sum("n_success"), lit(0L)),
-          coalesce(sum("n_invalid"), lit(0L)),
-          coalesce(sum("n_error"), lit(0L))
-        ).collect()(0)
-      val (nS, nI, nE) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
 
-      // 3. violations from the failing slice only, then the re-ingest gate
-      val failing = ann.filter(col("status") =!= Status.Success) // partition-pruned scan
+      // 3. violations from the explicitly-listed failing directories only
+      val failingDirs = Seq(Status.Invalid -> nI, Status.Error -> nE)
+        .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+      val failing =
+        if (failingDirs.isEmpty) ann.limit(0)
+        else log.readPaths(spark, failingDirs)
       val vioSource = MultiStreamEngine.violationRows(failing, snapshotId, idField, streamCol)
       val kept = suppressViolations.fold(vioSource)(vioSource.filter)
       val rejectedObs = Observation(s"msgate_$tag")
@@ -133,14 +156,15 @@ final class MultiStreamValidationJob(
             partitionSpec = partitionSpec,
             partitionsDelta = batch,
             complete = partitions.toSet.subsetOf(committedSoFar),
-            // valid rows are the status=success slice of `annotated` — read
-            // through readValid (a partition-pruned filter), not a separate
-            // path list: multi-root parquet reads of key=value-suffixed
-            // directories confuse partition discovery, while each annotated
-            // root is a self-contained (status, stream)-partitioned table.
+            // valid = the statusd=success subtree, registered as its own
+            // path list (already laid out one streamd= directory per
+            // stream). Empty slices register no paths — a partitionBy write
+            // of zero rows creates no directories (the commit itself still
+            // lands so resume skips the partitions).
             tables = Map(
-              "annotated" -> Seq(annotatedPath),
-              "violations" -> Seq(vioPath),
+              "valid" -> (if (nS > 0) Seq(s"$annotatedPath/statusd=${Status.Success}") else Seq.empty),
+              "annotated" -> (if (nS + nI + nE > 0) Seq(annotatedPath) else Seq.empty),
+              "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
               "rollups" -> Seq(rollPath)
             ),
             metrics = Map(
@@ -163,10 +187,10 @@ final class MultiStreamValidationJob(
 
 object MultiStreamValidationJob {
 
-  /** The valid table: the status=success slice of the annotated table.
-    * The status filter is a partition-column predicate, so the scan prunes
-    * to the success directories — identical I/O to listing them explicitly.
+  /** The valid table: the statusd=success subtree of each commit's
+    * annotated root, registered as explicit paths in the manifest — pruning
+    * by file-list construction, one scan.
     */
   def readValid(spark: SparkSession, log: SnapshotLog, m: Manifest): DataFrame =
-    log.readTable(spark, m, "annotated").filter(col("status") === Status.Success)
+    log.readTable(spark, m, "valid")
 }

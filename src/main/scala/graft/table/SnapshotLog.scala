@@ -49,7 +49,13 @@ final case class Manifest(
     /** true ⇒ this manifest holds the FULL partition/file view and the
       * chain walk stops here (parentId is kept as pure lineage). Written by
       * [[SnapshotLog.checkpoint]]. */
-    checkpoint: Boolean = false
+    checkpoint: Boolean = false,
+    /** streaming replay-idempotency ledger: checkpoint identity → micro-batch
+      * ids committed by THIS manifest (delta). Kept apart from
+      * `partitionsDelta` (and as Long) so a recreated streaming checkpoint —
+      * whose batch ids restart at 0 — gets a fresh identity instead of
+      * silently skipping new batches against a stale id space. */
+    streamBatches: Map[String, Seq[Long]] = Map.empty
 )
 
 /** Append-only snapshot log over any Hadoop filesystem.
@@ -95,7 +101,11 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       // Jackson erases generic container params: numeric map values arrive
       // as Integer at runtime. Normalize to Long to keep the typed API honest.
       val rawMetrics = m.metrics.asInstanceOf[Map[String, Any]]
-      m.copy(metrics = rawMetrics.map { case (k, v) => (k, v.asInstanceOf[Number].longValue) })
+      val rawBatches = m.streamBatches.asInstanceOf[Map[String, Seq[Any]]]
+      m.copy(
+        metrics = rawMetrics.map { case (k, v) => (k, v.asInstanceOf[Number].longValue) },
+        streamBatches = rawBatches.map { case (k, v) => (k, v.map(_.asInstanceOf[Number].longValue)) }
+      )
     } finally in.close()
   }
 
@@ -128,6 +138,8 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
         partitionsDelta = committedPartitions(m).toSeq.sorted,
         // stored newest-first so tablePaths' chain-order reverse round-trips
         tables = tableNames.map(t => t -> tablePaths(m, t).reverse).toMap,
+        streamBatches = chain(m).flatMap(_.streamBatches.keys).toSet
+          .map((k: String) => k -> committedStreamBatches(m, k).toSeq.sorted).toMap,
         checkpoint = true,
         createdAtMs = System.currentTimeMillis()
       )
@@ -139,6 +151,12 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     */
   def committedPartitions(m: Manifest): Set[Int] =
     chain(m).flatMap(_.partitionsDelta).toSet
+
+  /** Micro-batch ids already committed under a streaming checkpoint
+    * identity (union of deltas up the chain).
+    */
+  def committedStreamBatches(m: Manifest, checkpointId: String): Set[Long] =
+    chain(m).flatMap(_.streamBatches.getOrElse(checkpointId, Seq.empty)).toSet
 
   /** Full data-path list of a logical table as of `m`. */
   def tablePaths(m: Manifest, table: String): Seq[String] =
@@ -166,17 +184,26 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   /** Read a logical table through the manifest chain's file lists (never by
     * directory listing — uncommitted data is invisible by construction).
     *
-    * Each commit's root is read separately and unioned: Spark refuses a
-    * single multi-root read when the roots are internally PARTITIONED
-    * directories (e.g. the multi-stream annotated table's status=/stream=
-    * layout) — and per-root reads keep partition discovery and pruning
-    * local to each root. Filters still push into every union leg.
+    * ONE multi-path scan regardless of commit count: writers duplicate any
+    * routing columns into `*d`-suffixed partition directories
+    * (statusd=/streamd=) but keep the real columns IN the data files, so
+    * reads disable Hive partition inference entirely
+    * (recursiveFileLookup) — Spark would otherwise reject multi-root reads
+    * of internally partitioned roots with CONFLICTING_DIRECTORY_STRUCTURES,
+    * which round 2 worked around with an O(#commits)-leg union (analyzer
+    * cost + no scan sharing at thousands of commits). Data filters on the
+    * routing columns still skip whole files via parquet min/max stats (each
+    * file holds a single routing value).
     */
   def readTable(spark: SparkSession, m: Manifest, table: String): DataFrame = {
     val paths = tablePaths(m, table)
     require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
-    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    readPaths(spark, paths)
   }
+
+  /** The one-scan read shape shared by every snapshot reader. */
+  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
 
   /** Partition-pruned read: commits whose delta doesn't intersect `wanted`
     * contribute NO paths — SURVEY §4's "pruning is explicit file-list
@@ -193,7 +220,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       .flatMap(_.tables.getOrElse(table, Seq.empty))
       .toSeq.reverse
     require(paths.nonEmpty, s"table $table has no data for partitions $wanted in ${m.snapshotId}")
-    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    readPaths(spark, paths)
       .filter(org.apache.spark.sql.functions.col("partition_id").isin(wanted.toSeq: _*))
   }
 }

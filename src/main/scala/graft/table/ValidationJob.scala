@@ -74,7 +74,14 @@ final class ValidationJob(
     "freq_phash" -> Sketches.freqLongMerge
   )
 
-  /** Wall + executor-task milliseconds per named phase, via job groups. */
+  /** Wall + executor-task milliseconds per named phase, via job groups.
+    *
+    * task_ms_* is APPROXIMATE: listener events ride the async bus, so totals
+    * read right after an action can miss still-queued onTaskEnd events (for
+    * the final batch the undercount is permanent in the HEAD manifest).
+    * wall_ms_* is exact — use it for anything that matters; task_ms_* exists
+    * to split executor time from scheduler gaps, a diagnostic.
+    */
   private final class PhaseListener extends SparkListener {
     private val stagePhase = scala.collection.concurrent.TrieMap.empty[Int, String]
     val taskMs = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -159,10 +166,15 @@ final class ValidationJob(
           else Seq.empty
         val statsObs = Observation(s"stats_$tag")
         val statExprs = countExprs ++ sketchExprs
+        // `statusd` duplicates `status` purely for directory routing: the
+        // real column stays IN the data files so snapshot readers can use
+        // one multi-root recursive scan (SnapshotLog.readPaths) instead of
+        // Hive partition inference, which rejects multi-root reads.
         phase("write_annotated") {
           res.annotated.drop("_pid").drop("_decode")
             .observe(statsObs, statExprs.head, statExprs.tail: _*)
-            .write.mode("overwrite").partitionBy("status").parquet(annotatedPath)
+            .withColumn("statusd", col("status"))
+            .write.mode("overwrite").partitionBy("statusd").parquet(annotatedPath)
         }
         val stats = statsObs.get
         def cnt(k: String): Long = stats(k).asInstanceOf[Long]
@@ -171,19 +183,20 @@ final class ValidationJob(
           (a + s, b + i, c + e)
         }
         val validPaths =
-          if (nS > 0) Seq(s"$annotatedPath/status=${Status.Success}") else Seq.empty[String]
+          if (nS > 0) Seq(s"$annotatedPath/statusd=${Status.Success}") else Seq.empty[String]
 
-        // Violations from the written failing slice (basePath recovers the
-        // status partition column), then suppression and the re-ingest gate.
+        // Violations from the written failing slice (status is a data
+        // column, so no partition inference needed), then suppression and
+        // the re-ingest gate.
         val failingDirs = Seq(Status.Invalid -> nI, Status.Error -> nE)
-          .collect { case (st, n) if n > 0 => s"$annotatedPath/status=$st" }
+          .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
         val vioSource =
           if (failingDirs.isEmpty)
             spark.createDataFrame(
               java.util.Collections.emptyList[Row](), ValidationEngine.violationRowSchema)
           else
             ValidationEngine.violationRows(
-              spark.read.option("basePath", annotatedPath).parquet(failingDirs: _*),
+              log.readPaths(spark, failingDirs),
               opts.snapshotId,
               "image_id"
             )
@@ -257,10 +270,15 @@ final class ValidationJob(
               partitionSpec = partitionSpec,
               partitionsDelta = batch,
               complete = partitions.toSet.subsetOf(committedSoFar),
+              // An all-empty batch writes NO annotated files (partitionBy of
+              // zero rows creates no directories), so registering its paths
+              // would poison later reads; the manifest still commits so the
+              // empty partitions count as done (resume skips them). Rollup
+              // rows are driver-built and always exist.
               tables = Map(
                 "valid" -> validPaths,
-                "annotated" -> Seq(annotatedPath),
-                "violations" -> Seq(vioPath),
+                "annotated" -> (if (nS + nI + nE > 0) Seq(annotatedPath) else Seq.empty),
+                "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
                 "rollups" -> Seq(rollPath)
               ),
               metrics = Map(

@@ -124,8 +124,8 @@ class MultiStreamSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_ms").toString
     engine.writeByStream(res.valid, out)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs.contains("stream=lax") && dirs.contains("stream=strict"))
-    assert(!dirs.contains("stream=unregistered.stream")) // no valid rows there
+    assert(dirs.contains("streamd=lax") && dirs.contains("streamd=strict"))
+    assert(!dirs.contains("streamd=unregistered.stream")) // no valid rows there
   }
 
   test("multi-stream job: per-stream routed output under ONE atomic commit; resume") {
@@ -153,9 +153,9 @@ class MultiStreamSpec extends SparkSpec {
     assert(streams == Set("strict", "lax"), s"got $streams") // only streams with passing rows
     // the physical layout routes per (status, stream) directory
     val successDirs = log.tablePaths(m, "annotated")
-      .flatMap(p => Option(new java.io.File(p, "status=success").listFiles()).toSeq.flatten)
+      .flatMap(p => Option(new java.io.File(p, "statusd=success").listFiles()).toSeq.flatten)
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(successDirs == Set("stream=strict", "stream=lax"), s"got $successDirs")
+    assert(successDirs == Set("streamd=strict", "streamd=lax"), s"got $successDirs")
     assert(valid.count() == 3 * 3) // b, c, d pass per input partition
 
     // rollups per (stream, partition); totals partition the input

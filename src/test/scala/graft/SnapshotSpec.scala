@@ -249,4 +249,44 @@ class SnapshotSpec extends SparkSpec {
     assert(v2.count() + m2.metrics("violations_rejected") == vCount)
     assert(v2.filter(length(col("detail")) > 30).count() == 0)
   }
+
+  test("long commit chains read as ONE scan: 50 commits, one FileScan node") {
+    // Round-2 readTable unioned one scan leg per commit root (analyzer cost
+    // + no scan sharing at thousands of commits). The recursive multi-path
+    // read must collapse any chain into a single parquet scan.
+    val log = newLog()
+    val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1, profileColumns = false)
+    val m = job.run(inputFor, 0 until 50)
+    assert(m.sequence == 50)
+
+    val df = log.readTable(spark, m, "valid")
+    val plan = df.queryExecution.executedPlan.toString
+    val scanNodes = plan.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scanNodes == 1, s"expected 1 scan node over 50 commits, got $scanNodes:\n${plan.take(2000)}")
+    assert(!plan.contains("Union"), "single multi-path scan must not union per-commit legs")
+    // and the data is complete: every input row lands in exactly one status
+    val ann = log.readTable(spark, m, "annotated")
+    assert(ann.count() == N)
+    assert(df.count() == m.metrics("n_success"))
+  }
+
+  test("empty partition batches commit (resume skips them) without poisoning reads") {
+    // ADVICE r2: a partitionBy write of zero rows creates no files, so an
+    // all-empty batch used to register unreadable annotated paths.
+    val log = newLog()
+    def sparseInput(p: Int): DataFrame =
+      if (p >= 2) inputFor(p).limit(0) else inputFor(p) // partitions 2,3 empty
+    val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1, profileColumns = false)
+    val m = job.run(sparseInput, Seq(0, 1, 2, 3))
+    assert(m.complete)
+    assert(log.committedPartitions(m) == Set(0, 1, 2, 3))
+    // reads across the chain (incl. the empty commits) stay healthy
+    assert(log.readTable(spark, m, "valid").count() == m.metrics("n_success"))
+    assert(log.readTable(spark, m, "annotated").count() > 0)
+    // resume: nothing reprocesses, including the empty partitions
+    var calls = Vector.empty[Int]
+    val m2 = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1, profileColumns = false)
+      .run(p => { calls :+= p; sparseInput(p) }, Seq(0, 1, 2, 3))
+    assert(calls.isEmpty && m2.snapshotId == m.snapshotId)
+  }
 }

@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     assert(log.readTable(spark, log.head.get, "valid").count() == 2 * validBefore)
   }
 
+  test("recreated checkpoint gets a fresh identity: restarted batch ids do not alias old ones") {
+    // ADVICE r2: batch ids restart at 0 when a checkpoint dir is recreated
+    // while the snapshot log is kept — keyed on the OLD identity they would
+    // be silently skipped as already-committed.
+    val logDir = Files.createTempDirectory("graft_stream_log5").toString
+    val log = new graft.table.SnapshotLog(logDir, spark.sparkContext.hadoopConfiguration)
+    val imgs = SyntheticImages.images(spark, 200, 1).toDF()
+
+    val ckptDir = Files.createTempDirectory("graft_stream_ckpt5").toString
+    val id1 = StreamingValidation.checkpointIdentity(spark, ckptDir)
+    assert(StreamingValidation.checkpointIdentity(spark, ckptDir) == id1) // stable
+
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 0L, id1).isDefined)
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 0L, id1).isEmpty) // replay skipped
+
+    // recreate the checkpoint dir: new identity, so batch 0 commits again
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckptDir))
+    val id2 = StreamingValidation.checkpointIdentity(spark, ckptDir)
+    assert(id2 != id1)
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, 0L, id2).isDefined)
+
+    // batch ids are compared as Long — no 2^31 truncation aliasing
+    val bigId = (1L << 33) + 5L
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, bigId, id2).isDefined)
+    assert(StreamingValidation.processAndCommit(log, ImageConstraints.v1, imgs, bigId, id2).isEmpty)
+    assert(log.committedStreamBatches(log.head.get, id2) == Set(0L, bigId))
+  }
+
   test("multi-stream streaming gate: heterogeneous micro-batches, per-stream atomic fan-out") {
     import spark.implicits._
     import graft.constraint._
