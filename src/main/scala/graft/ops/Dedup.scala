@@ -49,14 +49,24 @@ object Dedup {
     * references (measured ~20s of fixed plan cost at 64 lanes when inlined)
     * and (b) survives executor loss, unlike localCheckpoint's
     * executor-pinned blocks (round-1 advisory).
+    *
+    * Spill location (round-2 advisory: a driver-local tmp path is
+    * unreachable from executors on a real cluster): `spark.graft.spill.dir`
+    * if set, else `<spark.sql.warehouse.dir>/graft-spill` — both resolved
+    * through the Hadoop filesystem of the path, so any shared FS works.
+    * Cleanup: Hadoop `deleteOnExit`, which unlike java.io.File removes the
+    * directory RECURSIVELY when the FileSystem closes at JVM exit.
     */
   private def materializeSigs(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_lsh_$tag").toFile
-    dir.deleteOnExit()
-    val path = new java.io.File(dir, "sigs").getAbsolutePath
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+    val root = spark.conf.getOption("spark.graft.spill.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft-spill")
+    val path = new org.apache.hadoop.fs.Path(
+      root, s"lsh-$tag-${java.util.UUID.randomUUID()}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(path)
+    df.write.mode("overwrite").parquet(path.toString)
+    spark.read.parquet(path.toString)
   }
 
   /** Exact dedup: keep the lowest-`idCol` row per distinct `textCol`.

@@ -34,9 +34,19 @@ object Similarity {
 
   /** Deterministic random-hyperplane signature: bit j = sign of the dot
     * product with hyperplane j, whose components are ±1 derived from
-    * xxhash64(j, dim_index). No rand(), no fitted state.
+    * xxhash64(j, dim_index). No rand(), no fitted state. One codegen'd
+    * expression ([[graft.functions.RpSignatureExpr]]); bit-parity with the
+    * Column form is property-tested.
     */
-  def rpSignature(vec: Column, dim: Int, nbits: Int): Column = {
+  def rpSignature(vec: Column, dim: Int, nbits: Int): Column =
+    graft.functions.RpSignatureExpr(vec, dim, nbits)
+
+  /** The original `functions._` composition of [[rpSignature]] — nbits
+    * interpreted aggregate-over-zip_with lambdas per row. Kept as the
+    * differential oracle for the expression's bit parity (OpsSpec); not on
+    * any hot path.
+    */
+  def rpSignatureColumns(vec: Column, dim: Int, nbits: Int): Column = {
     require(nbits <= 62, "signature must fit a long")
     val dims = sequence(lit(0), lit(dim - 1))
     val bits = (0 until nbits).map { j =>

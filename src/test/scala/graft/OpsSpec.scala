@@ -184,6 +184,26 @@ class OpsSpec extends SparkSpec {
     assert(found.contains((0L, 100000L)), s"planted embedding dup not found: $found")
   }
 
+  test("RpSignatureExpr ≡ the Column-form signature, bit for bit") {
+    // Random vectors (incl. negatives, zeros, tiny/huge magnitudes) at the
+    // production dim, plus real embeddings: signatures must be identical,
+    // so banding statistics are unchanged by the codegen'd rewrite.
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val synth = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextFloat() - 0.5f) * (if (i % 7 == 0) 1e6f else 1f)))
+    }
+    val zeros = Seq((9001L, Seq.fill(dim)(0f)))
+    val df = (synth ++ zeros).toDF("vec_id", "embedding").unionByName(embs.select("vec_id", "embedding").limit(200))
+    for (nbits <- Seq(1, 12, 62)) {
+      val mismatches = df.select(
+        Similarity.rpSignature(col("embedding"), dim, nbits).as("fast"),
+        Similarity.rpSignatureColumns(col("embedding"), dim, nbits).as("ref")
+      ).filter(col("fast") =!= col("ref")).count()
+      assert(mismatches == 0, s"nbits=$nbits: $mismatches signature mismatches")
+    }
+  }
+
   test("langId classifies synthetic multilingual text; CJK by codepoints") {
     val df = Seq(
       ("en", "the cat sat on the mat and it was happy"),
