@@ -372,6 +372,26 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("hamming")
 
+  /** The phash-banding kernel with a DuckDB twin: a 64-bit signature derived
+    * from doc_id by arithmetic both engines compute identically (wrap-free
+    * multiply — groups of 4 ids share a base, members flip ≤1 bit), paired
+    * by the SAME Dedup.phashPairs banding as img_near_dup, verified against
+    * an exhaustive bit_count(xor()) self-join. Banding at hamming ≤ 3 has
+    * guaranteed recall (4×16-bit pigeonhole) and the cap is set above any
+    * bucket size here, so the pair set is exactly the exhaustive one.
+    */
+  def qPhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // (doc_id div 4 + 1) * C stays under 2^63 up to ~100k docs: no overflow
+    // under ANSI; DuckDB reproduces the same value via HUGEINT modular math.
+    val base = (expr("doc_id div 4") + lit(1)) * lit(281474976710677L)
+    val flip = expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END").cast("long")
+    val sigs = docs.select(col("doc_id").as("image_id"), base.bitwiseXOR(flip).as("phash"))
+    Dedup
+      .phashPairs(sigs, "image_id", "phash", maxHamming = 3, maxBucket = 1000000)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   def imgFeatures(s: SparkSession): DataFrame = {
     val imgs = SyntheticImages.images(s, 500, 4).toDF()
     imgs
@@ -529,7 +549,8 @@ object Queries {
     "q31_multi_stream" -> (q31MultiStream _),
     "q32_bpe_tokens" -> (q32BpeTokens _),
     "q33_quality" -> (q33Quality _),
-    "q34_heavy_hitters" -> (q34HeavyHitters _)
+    "q34_heavy_hitters" -> (q34HeavyHitters _),
+    "q35_phash_near_dup" -> (qPhashNearDup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -752,6 +773,17 @@ object Queries {
                 CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
          GROUP BY CUBE(event_type, user_bucket)
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    "q35_phash_near_dup" ->
+      """WITH s AS (
+           SELECT doc_id, xor(
+             CAST((CAST((doc_id // 4 + 1) AS HUGEINT) * 281474976710677) % 18446744073709551616
+               - CASE WHEN (CAST((doc_id // 4 + 1) AS HUGEINT) * 281474976710677) % 18446744073709551616 >= 9223372036854775808
+                      THEN 18446744073709551616 ELSE 0 END AS BIGINT),
+             CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END AS BIGINT)) AS sig
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3"""
   )
 }
