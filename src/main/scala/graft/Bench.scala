@@ -123,18 +123,33 @@ object Bench {
 
     // ---- per-query timings at full cores on the driver's sf dir
     val s = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def sweep(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(s, dir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val results = sweep(sfDir)
+    // Opt-in 10×-scale sweep (SPARK_GRAFT_SF1_QUERIES=1): the full query
+    // inventory over a deterministic scale-up of sfDir (ScaledData), so the
+    // LSH/ANN family's cost at 10× data is measured, not extrapolated.
+    val sf1Results =
+      if (!sys.env.get("SPARK_GRAFT_SF1_QUERIES").contains("1")) Seq.empty
+      else {
+        val scaledDir = s"/tmp/graft_bench/scaled10_$sfName"
+        graft.gen.ScaledData.materialize(s, sfDir, scaledDir, replicas = 10)
+        sweep(scaledDir)
+      }
     s.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def fmt(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = fmt(results)
+    val sf1Field = if (sf1Results.isEmpty) "" else s""""queries_sf1":${fmt(sf1Results)},"""
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfName%s",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s"sf":"$sfName%s",""" +
         f""""validate_sf":$validateSf%s,"validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
         f""""validate_sec_low":$secGateLow%.3f,"validate_sec_high":$secGateHigh%.3f,""" +
         f""""validate_rows_per_sec_low":$thrGateLow%.0f,"validate_rows_per_sec_high":$thrGateHigh%.0f,""" +
