@@ -123,12 +123,18 @@ object Bench {
 
     // ---- per-query timings at full cores on the driver's sf dir
     val s = session(cpus)
+    // Best-of-2 per query: the first execution carries codegen/JIT and this
+    // VM's additive host noise (round-2 single-shot numbers read as phantom
+    // regressions; best-of-3 isolation showed q23/q26/q27 well below them).
     def sweep(dir: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(s, dir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(s, dir).count() }
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(once(), once())
       }
     val results = sweep(sfDir)
     // Opt-in 10×-scale sweep (SPARK_GRAFT_SF1_QUERIES=1): the full query

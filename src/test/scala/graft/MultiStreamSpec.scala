@@ -251,6 +251,35 @@ class MultiStreamSpec extends SparkSpec {
     assert(byId("c")._2 == Status.Error) // sanitized but unregistered
   }
 
+  test("multi-stream job is single-pass: totals ride the annotated write, no output re-reads") {
+    // Round-2 shape re-read the written annotated table AND the written
+    // rollup parquet for counts (2 extra Spark jobs per batch). Now the
+    // batch totals come from an Observation attached to the annotated
+    // write, so one batch costs: write_annotated + rollup-agg/write +
+    // violations-gate/write (+ parquet-footer metadata jobs).
+    import graft.table.{MultiStreamValidationJob, SnapshotLog}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val log = new SnapshotLog(
+      Files.createTempDirectory("graft_msjobs").toString,
+      spark.sparkContext.hadoopConfiguration
+    )
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val m =
+      try new MultiStreamValidationJob(spark, log, registry, idField = "doc_id", commitBatch = 4)
+        .run(_ => batch, Seq(0, 1, 2, 3))
+      finally {
+        Thread.sleep(500) // listener bus drain
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(m.metrics("n_success") > 0 && m.metrics("n_invalid") > 0 && m.metrics("n_error") > 0)
+    val n = jobs.get
+    assert(n <= 6, s"one batch should cost <= 6 Spark jobs (3 data + metadata), saw $n")
+  }
+
   test("stream extraction + sanitization parity (default-eventgate.js:132-152)") {
     val df = Seq(
       (Some("explicit_stream"), "/cool/schema/uri"),
