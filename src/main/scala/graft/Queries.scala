@@ -400,6 +400,15 @@ object Queries {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Near-dup pairs → duplicate GROUPS via distributed connected components
+    * (min-label propagation). Over the q35 pair graph every group of 4 ids
+    * is a clique, so the fixpoint has the closed form (doc_id div 4)*4 —
+    * an exact oracle for a genuinely iterative distributed algorithm.
+    */
+  def q36DedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(qPhashNearDup(s, dir))
+      .select(col("id"), col("component"))
+
   def imgFeatures(s: SparkSession): DataFrame = {
     val imgs = SyntheticImages.images(s, 500, 4).toDF()
     imgs
@@ -558,7 +567,8 @@ object Queries {
     "q32_bpe_tokens" -> (q32BpeTokens _),
     "q33_quality" -> (q33Quality _),
     "q34_heavy_hitters" -> (q34HeavyHitters _),
-    "q35_phash_near_dup" -> (qPhashNearDup _)
+    "q35_phash_near_dup" -> (qPhashNearDup _),
+    "q36_dedup_components" -> (q36DedupComponents _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,6 +807,8 @@ object Queries {
            FROM h)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3"""
+         FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3""",
+    "q36_dedup_components" ->
+      """SELECT doc_id AS id, (doc_id // 4) * 4 AS component FROM documents"""
   )
 }

@@ -174,6 +174,42 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame =
     minhashPairs(df, idCol, textCol, shingleK, numHashes = 32, numBands = 16, threshold = minJaccard)
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * verified pairs into deletable duplicate GROUPS (keep one canonical id
+    * per component). Iterative min-label propagation: label(v) starts as v,
+    * each round takes the min over neighbors, stopping when no label moves.
+    * Rounds needed = component diameter — near-dup components are tiny, so
+    * this is a handful of shuffle joins on the (small) pair list, never on
+    * the corpus; each round localCheckpoints to truncate lineage (the
+    * iterative-plan growth trap). Returns (id, component) for every id
+    * appearing in `pairs`, component = min id of its component.
+    */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var moved = 1L
+    var iter = 0
+    while (moved > 0 && iter < maxIter) {
+      // candidate label per node: min over its own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nc"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          (col("nc") < col("component")).as("_moved"))
+        .localCheckpoint()
+      moved = next.filter(col("_moved")).count()
+      labels = next.drop("_moved")
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
     * exact cosine verification ≥ threshold.
     */

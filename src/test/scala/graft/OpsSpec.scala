@@ -204,6 +204,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components over pairs ≡ driver-side union-find (incl. chains)") {
+    // Chains (not cliques) force multiple propagation rounds: diameter of
+    // the 0-1-2-...-9 path is 9.
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val rnd = new scala.util.Random(13)
+    val randomPairs = (0 until 200).map(_ => (rnd.nextInt(100).toLong + 1000L, rnd.nextInt(100).toLong + 1000L))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ randomPairs).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    (chain ++ randomPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.keySet == want.keySet)
+    // canonical label = min of component in both
+    val wantMin = want.groupBy(_._2).flatMap { case (_, m) => val lbl = m.keys.min; m.keys.map(_ -> lbl) }
+    assert(got == wantMin, s"component mismatch: ${got.toSeq.sorted.take(20)} vs ${wantMin.toSeq.sorted.take(20)}")
+    assert(got(9L) == 0L) // the chain collapsed to its min across 9 hops
+  }
+
   test("langId classifies synthetic multilingual text; CJK by codepoints") {
     val df = Seq(
       ("en", "the cat sat on the mat and it was happy"),
