@@ -76,6 +76,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"stats agg should shuffle once, got $exchanges")
   }
 
+  test("multi-stream dispatch runs inside whole-stage codegen (StreamRoute + compiled sets)") {
+    import spark.implicits._
+    import graft.constraint._
+    import graft.engine._
+    val sets = Seq(
+      ConstraintSet("a/1", Seq.empty, Seq(NonNull("doc_id"))),
+      ConstraintSet("b/1", Seq.empty, Seq(NonNull("doc_id"), MinLength("text", 3)))
+    )
+    val reg = ConstraintRegistry(sets, routes = Map("sa" -> "a/1", "/^sb\\..+/" -> "b/1"))
+    // parquet-backed input: a Seq-backed LocalRelation constant-folds the
+    // whole projection at plan time and nothing reaches codegen
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_ms").toString
+    Seq(("x", "hello", "sa"), ("y", "hi", "sb.topic")).toDF("doc_id", "text", "stream")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val res = new MultiStreamEngine(reg, EngineOptions(snapshotId = "p", idField = "doc_id")).process(df)
+    val p = plan(res.annotated.filter(col("status") =!= "zzz"))
+    // route resolution is the codegen'd expression (inside a `*(n)`
+    // whole-stage-codegen'd Project), not a when-chain of per-route string
+    // comparisons; only the violations-array projection (higher-order
+    // `filter`, which Spark never codegens) sits above the codegen span.
+    val routeLine = p.linesIterator.find(_.contains("stream_route("))
+    assert(routeLine.isDefined, s"StreamRoute expression missing:\n${p.take(2000)}")
+    assert(routeLine.get.contains("*("), s"StreamRoute fell out of whole-stage codegen:\n${routeLine.get.take(300)}")
+    assert(!p.contains("CASE WHEN (stream"), "route CASE chain resurfaced")
+  }
+
   test("brute-force ANN broadcasts the query side (no shuffle of the data side)") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = embs.filter(col("vec_id") < 3)
