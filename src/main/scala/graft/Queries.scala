@@ -809,6 +809,12 @@ object Queries {
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3""",
     "q36_dedup_components" ->
-      """SELECT doc_id AS id, (doc_id // 4) * 4 AS component FROM documents"""
+      // component = min PRESENT id of the group; groups with a single
+      // present member have no pair and never reach components() — robust
+      // to doc_id ranges not starting at 0 or not divisible by 4.
+      """SELECT doc_id AS id,
+                min(doc_id) OVER (PARTITION BY doc_id // 4) AS component
+         FROM documents
+         QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1"""
   )
 }

@@ -22,7 +22,7 @@ import scala.concurrent.duration.Duration
   *
   * Fast path (documented in README): `spark-submit --class graft.Verify
   * target/scala-2.13/eventgatespark_2.13-0.1.0.jar <sfDir> <outDir>` on the
-  * packaged jar — no sbt startup, ~40 s total at sf0.01.
+  * packaged jar — no sbt startup, ~18-25 s total at sf0.01.
   */
 object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -65,15 +65,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
 
     val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def writeSelf(): Unit = done.synchronized {
-      val body = done.entrySet().toArray.toSeq
-        .map(_.asInstanceOf[java.util.Map.Entry[String, String]])
-        .sortBy(_.getKey)
-        .map(e => s"${q(e.getKey)}: ${q(e.getValue)}")
-        .mkString(s"""{"out_dir": ${q(outDir)}, "sf_dir": ${q(sfDir)}, "queries": {""", ",", "}}")
+    def report(): String = done.entrySet().toArray.toSeq
+      .map(_.asInstanceOf[java.util.Map.Entry[String, String]])
+      .sortBy(_.getKey)
+      .map(e => s"${q(e.getKey)}: ${q(e.getValue)}")
+      .mkString(s"""{"out_dir": ${q(outDir)}, "sf_dir": ${q(sfDir)}, "queries": {""", ",", "}}")
+    def writeSelf(): String = done.synchronized {
+      val body = report()
       Files.writeString(Paths.get(s"$outDir/VERIFY_SELF.json"), body)
       try Files.writeString(Paths.get("/root/repo/VERIFY_SELF.json"), body)
       catch { case _: Throwable => () }
+      body
     }
 
     // Concurrent execution: Spark's scheduler accepts jobs from many
@@ -108,11 +110,6 @@ object Verify {
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
     spark.stop()
-
-    val report = done.entrySet().toArray.toSeq
-      .map(_.asInstanceOf[java.util.Map.Entry[String, String]])
-      .sortBy(_.getKey).map(e => s"${q(e.getKey)}: ${q(e.getValue)}")
-      .mkString(s"""{"out_dir": ${q(outDir)}, "sf_dir": ${q(sfDir)}, "queries": {""", ",", "}}")
-    println(report) // bare on stdout (build.sbt sets StdoutOutput)
+    println(writeSelf()) // bare on stdout (build.sbt sets StdoutOutput); same bytes as VERIFY_SELF.json
   }
 }

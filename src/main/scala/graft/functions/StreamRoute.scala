@@ -39,19 +39,45 @@ final class StreamRouteResolver(
     exact.foreach { case (k, v) => m.put(k, v) }
     m
   }
+  // UTF8String-keyed twin of exactMap with interned version values: the
+  // per-row exact-hit path (the overwhelmingly common case) does ONE hash
+  // probe with the incoming UTF8String and returns a shared value — no
+  // per-row String decode, no per-row UTF8String allocation. The slow
+  // regex/base-URI fallback (rare: unrouted streams) converts once.
+  @transient private lazy val exactMapU: java.util.HashMap[UTF8String, UTF8String] = {
+    val m = new java.util.HashMap[UTF8String, UTF8String](math.max(8, exact.size * 2))
+    exact.foreach { case (k, v) => m.put(UTF8String.fromString(k), internU(v)) }
+    m
+  }
+  @transient private lazy val versionsU: java.util.HashMap[String, UTF8String] =
+    new java.util.HashMap[String, UTF8String]()
+  private def internU(v: String): UTF8String = versionsU.synchronized {
+    val hit = versionsU.get(v)
+    if (hit != null) hit
+    else { val u = UTF8String.fromString(v); versionsU.put(v, u); u }
+  }
   @transient private lazy val patterns: Array[(java.util.regex.Pattern, String)] =
     regexRoutes.map { case (p, v) => (java.util.regex.Pattern.compile(p), v) }.toArray
   @transient private lazy val baseArr: Array[String] = bases.toArray
 
   def resolve(s: UTF8String): UTF8String = {
     if (s == null) return null
-    val r = resolveString(s.toString)
-    if (r == null) null else UTF8String.fromString(r)
+    val fast = exactMapU.get(s)
+    if (fast != null) return fast
+    if (patterns.isEmpty && baseArr.isEmpty && ext.isEmpty) return null
+    val r = resolveSlow(s.toString)
+    if (r == null) null else internU(r)
   }
 
+  /** Driver-side resolution (ConstraintRegistry.resolve). */
   def resolveString(s: String): String = {
     val e = exactMap.get(s)
     if (e != null) return e
+    resolveSlow(s)
+  }
+
+  /** Regex + base-URI fallback chain (after an exact miss). */
+  private def resolveSlow(s: String): String = {
     var i = 0
     while (i < patterns.length) {
       if (patterns(i)._1.matcher(s).find()) return patterns(i)._2

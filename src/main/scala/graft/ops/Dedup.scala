@@ -207,6 +207,13 @@ object Dedup {
       labels = next.drop("_moved")
       iter += 1
     }
+    // Silent non-convergence would return SPLIT components — multiple
+    // "canonical" survivors for one true duplicate group, with no signal.
+    require(
+      moved == 0,
+      s"components did not converge in $maxIter rounds ($moved labels still moving): " +
+        "a component's diameter exceeds maxIter — raise maxIter"
+    )
     labels
   }
 

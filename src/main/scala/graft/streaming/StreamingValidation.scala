@@ -76,22 +76,8 @@ object StreamingValidation {
     // annotated frame is written routed by statusd (status stays a data
     // column) with batch totals observed during the same job; rollups and
     // violations derive from the written table, not a pipeline re-run.
-    val totalsObs = org.apache.spark.sql.Observation(s"sv_$tag")
-    res.annotated.drop("_decode")
-      .observe(
-        totalsObs,
-        count(when(col("status") === graft.model.Status.Success, 1)).as("n_s"),
-        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_i"),
-        count(when(col("status") === graft.model.Status.Error, 1)).as("n_e")
-      )
-      .withColumn("statusd", col("status"))
-      .write.mode("overwrite").partitionBy("statusd").parquet(annotatedPath)
-    val totals = totalsObs.get
-    val (nS, nI, nE) = (
-      totals("n_s").asInstanceOf[Long],
-      totals("n_i").asInstanceOf[Long],
-      totals("n_e").asInstanceOf[Long]
-    )
+    val (nS, nI, nE) =
+      SnapshotLog.writeAnnotated(res.annotated.drop("_decode"), annotatedPath, s"sv_$tag")
 
     val ann = log.readPaths(spark, Seq(annotatedPath)) // nonempty: batch.isEmpty guarded above
     ann
@@ -105,8 +91,7 @@ object StreamingValidation {
         col("n_success"), col("n_invalid"), col("n_error"))
       .coalesce(1).write.mode("overwrite").parquet(rollPath)
 
-    val failingDirs = Seq(graft.model.Status.Invalid -> nI, graft.model.Status.Error -> nE)
-      .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+    val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
     val vio =
       if (failingDirs.isEmpty)
         spark.createDataFrame(
@@ -117,7 +102,7 @@ object StreamingValidation {
     vio.write.mode("overwrite").parquet(vioPath)
 
     val validPaths =
-      if (nS > 0) Seq(s"$annotatedPath/statusd=${graft.model.Status.Success}") else Seq.empty[String]
+      if (nS > 0) Seq(SnapshotLog.validDir(annotatedPath)) else Seq.empty[String]
     val prev = head.map(_.metrics).getOrElse(Map.empty)
     Some(log.commit(Manifest(
       snapshotId = "",
@@ -180,23 +165,8 @@ object StreamingValidation {
     // ONE pass: annotated written routed per (statusd, streamd) with batch
     // totals observed during the write; rollups and violations derive from
     // the written table (explicit failing-directory reads).
-    val totalsObs = org.apache.spark.sql.Observation(s"svm_$tag")
-    res.annotated
-      .observe(
-        totalsObs,
-        count(when(col("status") === graft.model.Status.Success, 1)).as("n_s"),
-        count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_i"),
-        count(when(col("status") === graft.model.Status.Error, 1)).as("n_e")
-      )
-      .withColumn("statusd", col("status"))
-      .withColumn("streamd", col(streamCol))
-      .write.mode("overwrite").partitionBy("statusd", "streamd").parquet(annotatedPath)
-    val totals = totalsObs.get
-    val (nS, nI, nE) = (
-      totals("n_s").asInstanceOf[Long],
-      totals("n_i").asInstanceOf[Long],
-      totals("n_e").asInstanceOf[Long]
-    )
+    val (nS, nI, nE) =
+      SnapshotLog.writeAnnotated(res.annotated, annotatedPath, s"svm_$tag", Some(streamCol))
     val ann = log.readPaths(spark, Seq(annotatedPath))
     ann
       .groupBy(col(streamCol).as("stream"), col("partition_id"))
@@ -208,8 +178,7 @@ object StreamingValidation {
       .select(lit(snapshotId).as("snapshot_id"), col("stream"), col("partition_id"),
         col("n_success"), col("n_invalid"), col("n_error"))
       .coalesce(1).write.mode("overwrite").parquet(rollPath)
-    val failingDirs = Seq(graft.model.Status.Invalid -> nI, graft.model.Status.Error -> nE)
-      .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+    val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
     val failing = if (failingDirs.isEmpty) ann.limit(0) else log.readPaths(spark, failingDirs)
     graft.engine.MultiStreamEngine
       .violationRows(failing, snapshotId, idField, streamCol)
@@ -224,7 +193,7 @@ object StreamingValidation {
       partitionsDelta = Seq.empty,
       complete = false,
       tables = Map(
-        "valid" -> (if (nS > 0) Seq(s"$annotatedPath/statusd=${graft.model.Status.Success}") else Seq.empty),
+        "valid" -> (if (nS > 0) Seq(SnapshotLog.validDir(annotatedPath)) else Seq.empty),
         "annotated" -> Seq(annotatedPath),
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)

@@ -76,25 +76,9 @@ final class MultiStreamValidationJob(
       // (per-(stream,partition) rollups are stream-value-dependent and
       // can't be observed globally; they aggregate over the written table's
       // three narrow columns below).
-      val totalsObs = Observation(s"ms_$tag")
-      phase("write_annotated") {
-        res.annotated.drop("_pid")
-          .observe(
-            totalsObs,
-            count(when(col("status") === Status.Success, 1)).as("n_s"),
-            count(when(col("status") === Status.Invalid, 1)).as("n_i"),
-            count(when(col("status") === Status.Error, 1)).as("n_e")
-          )
-          .withColumn("statusd", col("status"))
-          .withColumn("streamd", col(streamCol))
-          .write.mode("overwrite").partitionBy("statusd", "streamd").parquet(annotatedPath)
+      val (nS, nI, nE) = phase("write_annotated") {
+        SnapshotLog.writeAnnotated(res.annotated.drop("_pid"), annotatedPath, s"ms_$tag", Some(streamCol))
       }
-      val totals = totalsObs.get
-      val (nS, nI, nE) = (
-        totals("n_s").asInstanceOf[Long],
-        totals("n_i").asInstanceOf[Long],
-        totals("n_e").asInstanceOf[Long]
-      )
 
       // 2. rollups per (stream, partition) from the written table — one
       // columnar scan over (stream, partition_id, status) only.
@@ -115,8 +99,7 @@ final class MultiStreamValidationJob(
       }
 
       // 3. violations from the explicitly-listed failing directories only
-      val failingDirs = Seq(Status.Invalid -> nI, Status.Error -> nE)
-        .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+      val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
       val failing =
         if (failingDirs.isEmpty) ann.limit(0)
         else log.readPaths(spark, failingDirs)
@@ -162,7 +145,7 @@ final class MultiStreamValidationJob(
             // of zero rows creates no directories (the commit itself still
             // lands so resume skips the partitions).
             tables = Map(
-              "valid" -> (if (nS > 0) Seq(s"$annotatedPath/statusd=${Status.Success}") else Seq.empty),
+              "valid" -> (if (nS > 0) Seq(SnapshotLog.validDir(annotatedPath)) else Seq.empty),
               "annotated" -> (if (nS + nI + nE > 0) Seq(annotatedPath) else Seq.empty),
               "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
               "rollups" -> Seq(rollPath)
@@ -189,8 +172,9 @@ object MultiStreamValidationJob {
 
   /** The valid table: the statusd=success subtree of each commit's
     * annotated root, registered as explicit paths in the manifest — pruning
-    * by file-list construction, one scan.
+    * by file-list construction, one scan. A chain where EVERY row failed
+    * registers no valid paths; that is an empty valid table, not an error.
     */
   def readValid(spark: SparkSession, log: SnapshotLog, m: Manifest): DataFrame =
-    log.readTable(spark, m, "valid")
+    log.readTableOrEmpty(spark, m, "valid", schemaFrom = "annotated")
 }

@@ -205,6 +205,16 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
 
+  /** Like [[readTable]], but an empty path list yields an empty frame with
+    * `schemaFrom`'s table schema instead of throwing — for tables that are
+    * legitimately absent from a chain (e.g. `valid` when every row failed).
+    */
+  def readTableOrEmpty(spark: SparkSession, m: Manifest, table: String, schemaFrom: String): DataFrame = {
+    val paths = tablePaths(m, table)
+    if (paths.nonEmpty) readPaths(spark, paths)
+    else readTable(spark, m, schemaFrom).limit(0)
+  }
+
   /** Partition-pruned read: commits whose delta doesn't intersect `wanted`
     * contribute NO paths — SURVEY §4's "pruning is explicit file-list
     * construction, not a post-scan filter". The residual in-commit filter
@@ -223,4 +233,52 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     readPaths(spark, paths)
       .filter(org.apache.spark.sql.functions.col("partition_id").isin(wanted.toSeq: _*))
   }
+}
+
+object SnapshotLog {
+  import org.apache.spark.sql.Observation
+  import org.apache.spark.sql.functions._
+
+  /** The single-pass produce shape shared by the batch and streaming gates:
+    * write `annotated` routed by statusd (and streamd when `streamCol` is
+    * set) — the `*d` duplicates exist only as directory names, the real
+    * columns stay in the data files (see [[SnapshotLog.readPaths]]) — while
+    * an attached Observation counts the batch's status totals during the
+    * SAME job. Returns (nSuccess, nInvalid, nError).
+    */
+  def writeAnnotated(
+      annotated: DataFrame,
+      path: String,
+      obsName: String,
+      streamCol: Option[String] = None
+  ): (Long, Long, Long) = {
+    val obs = Observation(obsName)
+    val routed = streamCol.foldLeft(
+      annotated
+        .observe(
+          obs,
+          count(when(col("status") === graft.model.Status.Success, 1)).as("n_s"),
+          count(when(col("status") === graft.model.Status.Invalid, 1)).as("n_i"),
+          count(when(col("status") === graft.model.Status.Error, 1)).as("n_e")
+        )
+        .withColumn("statusd", col("status"))
+    )((df, sc) => df.withColumn("streamd", col(sc)))
+    routed.write
+      .mode("overwrite")
+      .partitionBy(Seq("statusd") ++ streamCol.map(_ => "streamd"): _*)
+      .parquet(path)
+    val t = obs.get
+    (t("n_s").asInstanceOf[Long], t("n_i").asInstanceOf[Long], t("n_e").asInstanceOf[Long])
+  }
+
+  /** The statusd=success subtree of an annotated root (the valid table). */
+  def validDir(annotatedPath: String): String =
+    s"$annotatedPath/statusd=${graft.model.Status.Success}"
+
+  /** Directories of the failing slices that actually exist (a partitionBy
+    * write creates no directory for an absent status).
+    */
+  def failingDirs(annotatedPath: String, nInvalid: Long, nError: Long): Seq[String] =
+    Seq(graft.model.Status.Invalid -> nInvalid, graft.model.Status.Error -> nError)
+      .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
 }

@@ -183,13 +183,12 @@ final class ValidationJob(
           (a + s, b + i, c + e)
         }
         val validPaths =
-          if (nS > 0) Seq(s"$annotatedPath/statusd=${Status.Success}") else Seq.empty[String]
+          if (nS > 0) Seq(SnapshotLog.validDir(annotatedPath)) else Seq.empty[String]
 
         // Violations from the written failing slice (status is a data
         // column, so no partition inference needed), then suppression and
         // the re-ingest gate.
-        val failingDirs = Seq(Status.Invalid -> nI, Status.Error -> nE)
-          .collect { case (st, n) if n > 0 => s"$annotatedPath/statusd=$st" }
+        val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
         val vioSource =
           if (failingDirs.isEmpty)
             spark.createDataFrame(

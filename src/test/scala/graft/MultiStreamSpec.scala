@@ -251,6 +251,21 @@ class MultiStreamSpec extends SparkSpec {
     assert(byId("c")._2 == Status.Error) // sanitized but unregistered
   }
 
+  test("readValid on an all-failing chain is an empty frame, not an error") {
+    import graft.table.{MultiStreamValidationJob, SnapshotLog}
+    val log = new SnapshotLog(
+      Files.createTempDirectory("graft_msfail").toString,
+      spark.sparkContext.hadoopConfiguration
+    )
+    val allBad = batch.filter(col("doc_id").isNull || col("doc_id") === "a") // invalid under strict only
+      .withColumn("stream", lit("strict"))
+    val m = new MultiStreamValidationJob(spark, log, registry, idField = "doc_id")
+      .run(_ => allBad, Seq(0))
+    assert(m.metrics("n_success") == 0 && m.metrics("n_invalid") > 0)
+    val valid = MultiStreamValidationJob.readValid(spark, log, m)
+    assert(valid.isEmpty && valid.columns.contains("stream")) // empty, schema intact
+  }
+
   test("multi-stream job is single-pass: totals ride the annotated write, no output re-reads") {
     // Round-2 shape re-read the written annotated table AND the written
     // rollup parquet for counts (2 extra Spark jobs per batch). Now the

@@ -226,6 +226,10 @@ class OpsSpec extends SparkSpec {
     val wantMin = want.groupBy(_._2).flatMap { case (_, m) => val lbl = m.keys.min; m.keys.map(_ -> lbl) }
     assert(got == wantMin, s"component mismatch: ${got.toSeq.sorted.take(20)} vs ${wantMin.toSeq.sorted.take(20)}")
     assert(got(9L) == 0L) // the chain collapsed to its min across 9 hops
+
+    // non-convergence must FAIL LOUDLY, not return split components
+    val e = intercept[IllegalArgumentException](Dedup.components(chain.toDF("id_a", "id_b"), maxIter = 3))
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("langId classifies synthetic multilingual text; CJK by codepoints") {
