@@ -181,7 +181,11 @@ object Dedup {
     * Rounds needed = component diameter — near-dup components are tiny, so
     * this is a handful of shuffle joins on the (small) pair list, never on
     * the corpus; each round localCheckpoints to truncate lineage (the
-    * iterative-plan growth trap). Returns (id, component) for every id
+    * iterative-plan growth trap). localCheckpoint (executor-pinned) is the
+    * right durability trade HERE, unlike for signature tables: the pair
+    * list is orders of magnitude smaller than the corpus and the loop is
+    * deterministic — an executor loss costs re-running a few cheap rounds,
+    * not a corpus-scale recompute. Returns (id, component) for every id
     * appearing in `pairs`, component = min id of its component.
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20): DataFrame = {
