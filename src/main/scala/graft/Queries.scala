@@ -409,6 +409,57 @@ object Queries {
     Dedup.components(qPhashNearDup(s, dir))
       .select(col("id"), col("component"))
 
+  /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
+    * rewrite_data_files / expire_snapshots analogs): run a 2-commit
+    * validation job, compact `annotated` (with its `valid` subtree view
+    * re-pointed in the same atomic commit), checkpoint, expire — and prove
+    * in-band that the rewrite preserved the data: order-insensitive
+    * row-count + xxhash64 fingerprints before vs after, file count reduced,
+    * pre-compaction directories reclaimed. Rows-only by nature (a storage
+    * lifecycle has no single-SQL DuckDB twin); correctness is the `pass`
+    * column plus MaintenanceSpec's five invariants.
+    */
+  def imgMaintenance(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_q").toString
+    val log = new graft.table.SnapshotLog(dir, s.sparkContext.hadoopConfiguration)
+    def inputFor(p: Int): DataFrame = {
+      val pLocal = p.toLong
+      s.range(0, 1000, 1, 2).as[Long]
+        .filter(i => (i % 2L) == pLocal)
+        .map(i => SyntheticImages.rowOf(i, drift = false, contentPool = 0))
+        .toDF()
+    }
+    val job = new graft.table.ValidationJob(s, log, ImageConstraints.v1, commitBatch = 1, profileColumns = false)
+    val m = job.run(inputFor, Seq(0, 1))
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      // bit_xor fold: order-insensitive and overflow-free (a SUM of 64-bit
+      // hashes trips ANSI long-overflow)
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(image_id, status))")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val rootsBefore = log.tablePaths(m, "annotated").size.toLong
+    val before = fingerprint(log.readTable(s, m, "annotated"))
+    val c = graft.table.Maintenance.compact(s, log, "annotated")
+    log.checkpoint(log.head.get)
+    val e = graft.table.Maintenance.expire(log)
+    val head = log.head.get
+    val after = fingerprint(log.readTable(s, head, "annotated"))
+    val validCount = log.readTable(s, head, "valid").count()
+    val rootsAfter = log.tablePaths(head, "annotated").size.toLong
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq(
+      ("01_rows", before._1, after._1, before._1 == after._1),
+      ("02_fingerprint", before._2, after._2, before._2 == after._2),
+      ("03_roots", rootsBefore, rootsAfter, rootsAfter == 1L),
+      ("04_files", c.filesBefore, c.filesAfter, c.filesAfter < c.filesBefore),
+      ("05_dirs_reclaimed", 0L, e.tableDirsDeleted, e.tableDirsDeleted > 0),
+      ("06_valid_repointed", m.metrics("n_success"), validCount, validCount == m.metrics("n_success"))
+    ).toDF("check", "before", "after", "pass").orderBy("check")
+  }
+
   def imgFeatures(s: SparkSession): DataFrame = {
     val imgs = SyntheticImages.images(s, 500, 4).toDF()
     imgs
@@ -579,6 +630,7 @@ object Queries {
     "img_referential" -> ((s, _) => imgReferential(s)),
     "img_features" -> ((s, _) => imgFeatures(s)),
     "img_near_dup" -> ((s, _) => imgNearDup(s)),
+    "img_maintenance" -> ((s, _) => imgMaintenance(s)),
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
     "q22_ngram_jaccard" -> (qNgramJaccard _),

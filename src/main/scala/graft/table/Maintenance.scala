@@ -1,0 +1,186 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Table maintenance over a [[SnapshotLog]] — the Iceberg-style lifecycle
+  * the north_rule's 10^12-row table needs but no single validation run
+  * provides:
+  *
+  *  - [[compact]] = `rewrite_data_files`: a P-partition table written in
+  *    ⌈P/k⌉ commit batches accumulates thousands of small roots/files; one
+  *    snapshot read stays a single multi-path scan, but every file still
+  *    costs a footer read + a scheduler task + lost min/max locality. Compact
+  *    rewrites a logical table into size-targeted, partition_id-range-
+  *    clustered files under ONE root and commits a manifest that REPLACES the
+  *    table's path chain (`tablesReplaced`), atomically — readers see the old
+  *    or the new file set, never a mix.
+  *  - [[expire]] = `expire_snapshots` + orphan-file removal: retires
+  *    manifests older than the nearest checkpoint below HEAD and deletes
+  *    data directories no retained snapshot can reach (e.g. pre-compaction
+  *    originals). Every read through a RETAINED manifest keeps working;
+  *    time travel past the retention boundary throws, by design.
+  *
+  * The intended lifecycle at scale: validate (many commits) → `compact` the
+  * hot tables → `checkpoint` (squash metadata) → `expire` (reclaim files).
+  * Each step is an ordinary atomic commit (or pure metadata/file work), so a
+  * kill at any point leaves a readable table.
+  *
+  * The reference is a stateless service with no storage lifecycle — this
+  * layer has no reference analog; it exists because the engine's output IS
+  * a long-lived table.
+  */
+object Maintenance {
+
+  final case class CompactionStats(
+      manifest: Manifest,
+      filesBefore: Long,
+      filesAfter: Long,
+      bytesRewritten: Long
+  )
+
+  final case class ExpireStats(
+      manifestsDeleted: Long,
+      tableDirsDeleted: Long,
+      bytesReclaimed: Long
+  )
+
+  /** Directory-routing duplicates the engine's writers use: the directory
+    * column is dir-name-only, the source column stays in the data files
+    * (see [[SnapshotLog.readPaths]]). Compaction re-derives the same layout
+    * from the data, so compacted and fresh-written roots read identically.
+    */
+  private val routeDirs: Seq[(String, String)] = Seq("statusd" -> "status", "streamd" -> "stream")
+
+  /** Rewrite `table` (as of HEAD) into size-targeted files under one root
+    * and commit the replacement. Clustering: route columns first (so each
+    * statusd/streamd directory's rows land in few files), then
+    * `partition_id` by RANGE where present — each output file then covers a
+    * narrow partition_id band, so parquet min/max stats keep
+    * [[SnapshotLog.readTableForPartitions]]' residual filter file-skipping
+    * even though the per-commit path pruning is gone for compacted data.
+    *
+    * Compacting `annotated` re-points the derived `valid` table (its
+    * statusd=success subtree) in the same commit — one atomic swap for both.
+    */
+  def compact(
+      spark: SparkSession,
+      log: SnapshotLog,
+      table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): CompactionStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val head = log.head.getOrElse(throw new IllegalStateException("compact: empty snapshot log"))
+    val paths = log.tablePaths(head, table)
+    require(paths.nonEmpty, s"compact: table $table has no data in ${head.snapshotId}")
+
+    val fs = log.fs
+    val (filesBefore, bytesBefore) = paths.foldLeft((0L, 0L)) { case ((nf, nb), p) =>
+      val s = fs.getContentSummary(new Path(p))
+      (nf + s.getFileCount, nb + s.getLength)
+    }
+    val nFiles = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val df = log.readPaths(spark, paths)
+    val fields = df.schema.fieldNames.toSet
+    val routes = routeDirs.filter { case (_, src) => fields.contains(src) }
+    val clusterCols =
+      routes.map { case (_, src) => col(src) } ++
+        (if (fields.contains("partition_id")) Seq(col("partition_id")) else Nil)
+
+    val shaped =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(nFiles, clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+      else df.repartition(nFiles)
+    val routed = routes.foldLeft(shaped) { case (d, (dir, src)) => d.withColumn(dir, col(src)) }
+
+    val newRoot = log.dataDir(f"compact-${head.sequence + 1}%08d", table)
+    val writer = routed.write.mode("overwrite")
+    (if (routes.nonEmpty) writer.partitionBy(routes.map(_._1): _*) else writer).parquet(newRoot)
+
+    // `valid` is a subtree view of `annotated`; swap both under one commit.
+    val repointValid =
+      table == "annotated" && log.tablePaths(head, "valid").nonEmpty
+    val tables =
+      Map(table -> Seq(newRoot)) ++
+        (if (repointValid) Map("valid" -> Seq(SnapshotLog.validDir(newRoot))) else Map.empty)
+
+    val committed = log.commit(
+      Manifest(
+        snapshotId = "", // assigned by commit
+        sequence = 0L,
+        parentId = Some(head.snapshotId),
+        constraintVersion = head.constraintVersion,
+        partitionSpec = head.partitionSpec,
+        partitionsDelta = Seq.empty, // a rewrite adds no new source partitions
+        complete = head.complete,
+        tables = tables,
+        metrics = head.metrics, // cumulative maps carry forward unchanged
+        sketches = head.sketches,
+        createdAtMs = System.currentTimeMillis(),
+        tablesReplaced = tables.keys.toSeq.sorted
+      )
+    )
+    val filesAfter = fs.getContentSummary(new Path(newRoot)).getFileCount
+    CompactionStats(committed, filesBefore, filesAfter, bytesBefore)
+  }
+
+  /** Retire history: delete manifests OLDER than the retained window (HEAD
+    * back to the nearest checkpoint — exactly the set [[SnapshotLog.chain]]
+    * can reach) and every `data/p-&#42;/&lt;table&gt;` directory that no
+    * retained manifest references. Reachability honors `tablesReplaced`
+    * per retained manifest, so pre-compaction originals expire as soon as
+    * no retained snapshot can read them — i.e. after the first
+    * post-compaction checkpoint, which is the intended call order.
+    *
+    * Pure filesystem work — no Spark jobs, no data reads; safe to run
+    * any time (deletes only what retained readers cannot reach).
+    */
+  def expire(log: SnapshotLog): ExpireStats = {
+    val fs = log.fs
+    val head = log.head.getOrElse(return ExpireStats(0, 0, 0))
+    val retained = log.chain(head).toVector
+    def qualified(p: String): String = fs.makeQualified(new Path(p)).toString
+
+    // Every path any retained manifest can reach, per replacement-aware walk.
+    val reachable: Set[String] = retained.flatMap { m =>
+      val names = log.chain(m).flatMap(_.tables.keys).toSet
+      names.flatMap(t => log.tablePaths(m, t))
+    }.map(qualified).toSet
+
+    // Manifests strictly below the retention window.
+    val floor = retained.map(_.sequence).min
+    var manifestsDeleted = 0L
+    if (fs.exists(log.snapDir)) {
+      fs.listStatus(log.snapDir)
+        .map(_.getPath)
+        .filter(_.getName.matches("\\d{8}\\.json"))
+        .filter(_.getName.stripSuffix(".json").toLong < floor)
+        .foreach { p => if (fs.delete(p, false)) manifestsDeleted += 1 }
+    }
+
+    // Unreachable table dirs (granularity: data/p-<tag>/<table> — one batch
+    // dir holds several logical tables, compaction replaces them one at a
+    // time). A dir is live if a reachable path is the dir itself or below
+    // it (the `valid` subtree keeps its `annotated` root alive).
+    var dirsDeleted = 0L
+    var bytes = 0L
+    val dataRoot = new Path(log.root, "data")
+    if (fs.exists(dataRoot)) {
+      for (batch <- fs.listStatus(dataRoot) if batch.isDirectory) {
+        for (tdir <- fs.listStatus(batch.getPath) if tdir.isDirectory) {
+          val d = qualified(tdir.getPath.toString)
+          val live = reachable.exists(r => r == d || r.startsWith(d + "/"))
+          if (!live) {
+            bytes += fs.getContentSummary(tdir.getPath).getLength
+            if (fs.delete(tdir.getPath, true)) dirsDeleted += 1
+          }
+        }
+        if (fs.listStatus(batch.getPath).isEmpty) fs.delete(batch.getPath, false)
+      }
+    }
+    ExpireStats(manifestsDeleted, dirsDeleted, bytes)
+  }
+}

@@ -55,7 +55,14 @@ final case class Manifest(
       * `partitionsDelta` (and as Long) so a recreated streaming checkpoint —
       * whose batch ids restart at 0 — gets a fresh identity instead of
       * silently skipping new batches against a stale id space. */
-    streamBatches: Map[String, Seq[Long]] = Map.empty
+    streamBatches: Map[String, Seq[Long]] = Map.empty,
+    /** tables whose `tables` entry in THIS manifest REPLACES the whole
+      * ancestor chain (per-table path-walk stop, the data analog of the
+      * all-tables `checkpoint` flag). Written by [[Maintenance.compact]]:
+      * the compacted rewrite supersedes every older file of that table, so
+      * readers must not union the old paths in — and after
+      * [[Maintenance.expire]] those paths no longer exist. */
+    tablesReplaced: Seq[String] = Seq.empty
 )
 
 /** Append-only snapshot log over any Hadoop filesystem.
@@ -69,8 +76,8 @@ final case class Manifest(
 final class SnapshotLog(val root: String, conf: Configuration) extends Serializable {
 
   @transient private lazy val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
-  private def fs: FileSystem = new Path(root).getFileSystem(conf)
-  private def snapDir = new Path(root, "snapshots")
+  private[table] def fs: FileSystem = new Path(root).getFileSystem(conf)
+  private[table] def snapDir = new Path(root, "snapshots")
 
   // No '=' in layout segments: key=value-shaped directory names engage
   // Spark's partition discovery, which (for multi-root reads of tables that
@@ -79,7 +86,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def dataDir(tag: String, table: String): String =
     new Path(root, s"data/p-$tag/$table").toString
 
-  private def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
+  private[table] def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
 
   def head: Option[Manifest] = {
     val f = fs
@@ -158,9 +165,25 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def committedStreamBatches(m: Manifest, checkpointId: String): Set[Long] =
     chain(m).flatMap(_.streamBatches.getOrElse(checkpointId, Seq.empty)).toSet
 
+  /** Chain prefix relevant to `table`: newest-first, ending at (and
+    * including) the first manifest that replaces the table (compaction) —
+    * or at the chain's own stop (checkpoint / root) otherwise.
+    */
+  private def chainFor(m: Manifest, table: String): Seq[Manifest] = {
+    val buf = Vector.newBuilder[Manifest]
+    val it = chain(m)
+    var done = false
+    while (it.hasNext && !done) {
+      val c = it.next()
+      buf += c
+      if (c.tablesReplaced.contains(table)) done = true
+    }
+    buf.result()
+  }
+
   /** Full data-path list of a logical table as of `m`. */
   def tablePaths(m: Manifest, table: String): Seq[String] =
-    chain(m).flatMap(_.tables.getOrElse(table, Seq.empty)).toSeq.reverse
+    chainFor(m, table).flatMap(_.tables.getOrElse(table, Seq.empty)).reverse
 
   /** Atomic commit: temp write + rename is the commit point. Sequence is
     * assigned here (head+1); a racing writer loses the rename and retries
@@ -201,6 +224,16 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     readPaths(spark, paths)
   }
 
+  /** Time-travel read: the table exactly as of snapshot `seq` — every
+    * manifest is an immutable full view (via its parent chain), so reading
+    * through an old one IS the Iceberg `VERSION AS OF` semantic. Holds until
+    * [[Maintenance.expire]] retires manifests older than the latest
+    * checkpoint (then this throws FileNotFound, as expired time travel
+    * should).
+    */
+  def readTableAsOf(spark: SparkSession, seq: Long, table: String): DataFrame =
+    readTable(spark, read(seq), table)
+
   /** The one-scan read shape shared by every snapshot reader. */
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
@@ -225,10 +258,14 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     * pre-checkpoint manifest or keep delta chains.
     */
   def readTableForPartitions(spark: SparkSession, m: Manifest, table: String, wanted: Set[Int]): DataFrame = {
-    val paths = chain(m)
-      .filter(_.partitionsDelta.exists(wanted))
+    // A replacing (compacted) manifest contributes its paths unconditionally:
+    // it holds ALL partitions' rows (file-level skipping comes from the
+    // rewrite's partition_id range-clustering + the residual filter below),
+    // and the pre-compaction per-partition paths may already be expired.
+    val paths = chainFor(m, table)
+      .filter(c => c.tablesReplaced.contains(table) || c.partitionsDelta.exists(wanted))
       .flatMap(_.tables.getOrElse(table, Seq.empty))
-      .toSeq.reverse
+      .reverse
     require(paths.nonEmpty, s"table $table has no data for partitions $wanted in ${m.snapshotId}")
     readPaths(spark, paths)
       .filter(org.apache.spark.sql.functions.col("partition_id").isin(wanted.toSeq: _*))

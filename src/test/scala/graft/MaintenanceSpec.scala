@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.engine.ImageConstraints
+import graft.gen.SyntheticImages
+import graft.table.{Maintenance, SnapshotLog, ValidationJob}
+
+class MaintenanceSpec extends SparkSpec {
+
+  val N = 2000L
+  val P = 4
+
+  private def inputFor(p: Int): DataFrame = {
+    import spark.implicits._
+    val (pLocal, mod) = (p.toLong, P.toLong)
+    spark
+      .range(0, N, 1, 2)
+      .as[Long]
+      .filter(i => (i % mod) == pLocal)
+      .map(i => SyntheticImages.rowOf(i, drift = false, contentPool = 0))
+      .toDF()
+  }
+
+  private def newLog(): SnapshotLog =
+    new SnapshotLog(Files.createTempDirectory("graft_maint").toString, spark.sparkContext.hadoopConfiguration)
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.select("image_id", "status").orderBy("image_id").collect().toSeq
+
+  test("time travel: readTableAsOf(seq) sees exactly that snapshot's prefix") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    val headParts = log.readTableAsOf(spark, 4, "rollups").select("partition_id").distinct().count()
+    val earlyParts = log.readTableAsOf(spark, 2, "rollups").select("partition_id").distinct().count()
+    assert(headParts == 4 && earlyParts == 2)
+    // immutability: the early view's row count is a strict prefix of HEAD's
+    val early = log.readTableAsOf(spark, 2, "annotated").count()
+    val head = log.readTableAsOf(spark, 4, "annotated").count()
+    assert(early == N / 2 && head == N)
+  }
+
+  test("compact: row parity, one root, fewer files, valid re-pointed atomically") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    val beforeAnn = sortedRows(log.readTable(spark, m, "annotated"))
+    val beforeValid = sortedRows(log.readTable(spark, m, "valid"))
+    assert(log.tablePaths(m, "annotated").size == 4)
+
+    val stats = Maintenance.compact(spark, log, "annotated", targetFileBytes = 4L * 1024 * 1024)
+    val head = log.head.get
+    assert(head.sequence == m.sequence + 1)
+    assert(log.tablePaths(head, "annotated").size == 1)
+    assert(log.tablePaths(head, "valid").size == 1)
+    assert(stats.filesAfter < stats.filesBefore, s"${stats.filesAfter} !< ${stats.filesBefore}")
+    assert(sortedRows(log.readTable(spark, head, "annotated")) == beforeAnn)
+    assert(sortedRows(log.readTable(spark, head, "valid")) == beforeValid)
+    // time travel across the rewrite: the pre-compaction manifest still reads
+    assert(sortedRows(log.readTableAsOf(spark, m.sequence, "annotated")) == beforeAnn)
+  }
+
+  test("compact: partition-pruned reads stay correct through the rewrite") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 2).run(inputFor, Seq(0, 1, 2, 3))
+    val before = sortedRows(log.readTableForPartitions(spark, m, "annotated", Set(1)))
+    Maintenance.compact(spark, log, "annotated")
+    val after = sortedRows(log.readTableForPartitions(spark, log.head.get, "annotated", Set(1)))
+    assert(after == before && before.nonEmpty)
+  }
+
+  test("compact: resume semantics survive — committed set unchanged, new work only") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
+    Maintenance.compact(spark, log, "annotated")
+    assert(log.committedPartitions(log.head.get) == Set(0, 1))
+    var calls = Vector.empty[Int]
+    def countingInput(p: Int): DataFrame = { calls :+= p; inputFor(p) }
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(countingInput, Seq(0, 1, 2))
+    assert(calls == Vector(2), s"resume after compaction reprocessed: $calls")
+  }
+
+  test("compact -> checkpoint -> expire: space reclaimed, reads intact, expired travel throws") {
+    val log = newLog()
+    val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    val beforeAnn = sortedRows(log.readTable(spark, m, "annotated"))
+    val oldRoot = new org.apache.hadoop.fs.Path(log.tablePaths(m, "annotated").head)
+    val fs = oldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Maintenance.compact(spark, log, "annotated")
+    // Before checkpoint, pre-compaction originals are still reachable via
+    // retained (time-travelable) manifests: expire must NOT touch them.
+    val noop = Maintenance.expire(log)
+    assert(noop.tableDirsDeleted == 0 && fs.exists(oldRoot))
+
+    log.checkpoint(log.head.get)
+    val stats = Maintenance.expire(log)
+    assert(stats.manifestsDeleted > 0 && stats.tableDirsDeleted > 0 && stats.bytesReclaimed > 0)
+    assert(!fs.exists(oldRoot), "pre-compaction annotated dir should be reclaimed")
+
+    val head = log.head.get
+    assert(sortedRows(log.readTable(spark, head, "annotated")) == beforeAnn)
+    assert(log.readTable(spark, head, "violations").count() >= 0)
+    assert(log.readTable(spark, head, "rollups").select("partition_id").distinct().count() == 4)
+    assert(log.committedPartitions(head) == Set(0, 1, 2, 3))
+    intercept[Exception](log.readTableAsOf(spark, 1, "annotated"))
+  }
+}
