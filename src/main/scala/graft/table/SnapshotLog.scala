@@ -234,6 +234,32 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def readTableAsOf(spark: SparkSession, seq: Long, table: String): DataFrame =
     readTable(spark, read(seq), table)
 
+  /** Incremental read (Iceberg incremental-scan analog): rows ADDED to
+    * `table` by commits in `(fromSeq, toSeq]` — the downstream-pipeline
+    * primitive ("process only what's new since my last run") that turns a
+    * periodic 10^12-row re-read into a delta-sized one. Pure manifest-delta
+    * work: each manifest's `tables` entry lists exactly the paths its commit
+    * added, so the file list is assembled without touching data.
+    *
+    * Metadata-only commits contribute nothing: a checkpoint squashes the
+    * chain (its `tables` are FULL lists — counting them would replay the
+    * whole table) and a compaction rewrites existing rows (`tablesReplaced`)
+    * — neither adds data. Throws if a needed manifest was retired by
+    * [[Maintenance.expire]]: an incremental reader that fell behind the
+    * retention window must re-bootstrap from a full snapshot read, same as
+    * Iceberg.
+    */
+  def readTableChanges(spark: SparkSession, fromSeq: Long, toSeq: Long, table: String): DataFrame = {
+    require(0 <= fromSeq && fromSeq <= toSeq, s"need 0 <= fromSeq <= toSeq, got ($fromSeq, $toSeq]")
+    val paths = ((fromSeq + 1) to toSeq).flatMap { seq =>
+      val m = read(seq)
+      if (m.checkpoint || m.tablesReplaced.contains(table)) Seq.empty
+      else m.tables.getOrElse(table, Seq.empty)
+    }
+    if (paths.nonEmpty) readPaths(spark, paths)
+    else readTable(spark, read(toSeq), table).limit(0) // empty delta, real schema
+  }
+
   /** The one-scan read shape shared by every snapshot reader. */
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)

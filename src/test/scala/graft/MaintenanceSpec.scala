@@ -81,6 +81,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(calls == Vector(2), s"resume after compaction reprocessed: $calls")
   }
 
+  test("incremental read: (from, to] yields exactly the delta rows") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    // delta (1, 3] == asOf(3) minus asOf(1), order-insensitively
+    val expected = sortedRows(
+      log.readTableAsOf(spark, 3, "annotated").exceptAll(log.readTableAsOf(spark, 1, "annotated"))
+    )
+    val got = sortedRows(log.readTableChanges(spark, 1, 3, "annotated"))
+    assert(got == expected && got.size == (N / 2).toInt)
+    // full range == full table; empty range == empty frame with the real schema
+    assert(log.readTableChanges(spark, 0, 4, "annotated").count() == N)
+    val empty = log.readTableChanges(spark, 2, 2, "annotated")
+    assert(empty.count() == 0 && empty.columns.contains("status"))
+  }
+
+  test("incremental read: checkpoint and compaction commits contribute no rows") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
+    Maintenance.compact(spark, log, "annotated") // seq 3
+    log.checkpoint(log.head.get) //                 seq 4
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2)) // seq 5
+    // across rewrite + checkpoint, only partition 2's rows are new
+    val delta = log.readTableChanges(spark, 2, 5, "annotated")
+    assert(delta.count() == N / 4)
+    assert(sortedRows(delta) == sortedRows(log.readTableChanges(spark, 4, 5, "annotated")))
+    // a reader that fell behind the retention window must re-bootstrap
+    Maintenance.expire(log)
+    intercept[Exception](log.readTableChanges(spark, 0, 5, "annotated").count())
+  }
+
   test("compact -> checkpoint -> expire: space reclaimed, reads intact, expired travel throws") {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
