@@ -111,6 +111,54 @@ class MaintenanceSpec extends SparkSpec {
     intercept[Exception](log.readTableChanges(spark, 0, 5, "annotated").count())
   }
 
+  test("compact re-derives dual (statusd, streamd) routing for multi-stream tables") {
+    import org.apache.spark.sql.functions._
+    import graft.constraint.{ConstraintSet, DefaultFill, MaxLength, MinLength, NonNull}
+    import graft.engine.ConstraintRegistry
+    import graft.table.MultiStreamValidationJob
+    import spark.implicits._
+
+    val registry = ConstraintRegistry(
+      Seq(
+        ConstraintSet("doc/2.0.0", fills = Seq(DefaultFill("source", "f2")),
+          checks = Seq(NonNull("doc_id"), MinLength("text", 10), MaxLength("text", 100))),
+        ConstraintSet("doc/1.0.0", fills = Seq(DefaultFill("source", "f1")),
+          checks = Seq(NonNull("doc_id")))
+      ),
+      routes = Map("strict" -> "doc/2.0.0", "lax" -> "doc/1.0.0")
+    )
+    def inputFor(p: Int) = Seq(
+      (s"p${p}_a", "short", "strict"), // invalid under strict
+      (s"p${p}_b", "a perfectly long enough text", "strict"),
+      (s"p${p}_c", "short", "lax")
+    ).toDF("doc_id", "text", "stream").withColumn("source", lit(null: String))
+
+    val log = newLog()
+    val m = new MultiStreamValidationJob(spark, log, registry, idField = "doc_id", commitBatch = 1)
+      .run(inputFor, Seq(0, 1, 2))
+    def perStream(mf: graft.table.Manifest) =
+      MultiStreamValidationJob.readValid(spark, log, mf)
+        .groupBy("stream").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val beforeValid = perStream(m)
+    val beforeAnn = sortedRowsBy(log.readTable(spark, m, "annotated"), "doc_id")
+
+    Maintenance.compact(spark, log, "annotated")
+    log.checkpoint(log.head.get)
+    Maintenance.expire(log)
+
+    val head = log.head.get
+    assert(perStream(head) == beforeValid && beforeValid == Map("strict" -> 3L, "lax" -> 3L))
+    assert(sortedRowsBy(log.readTable(spark, head, "annotated"), "doc_id") == beforeAnn)
+    // physical layout: the rewrite restored the (statusd, streamd) dir nesting
+    val root = log.tablePaths(head, "annotated") match { case Seq(one) => one }
+    val streamDirs = Option(new java.io.File(root.stripPrefix("file:"), "statusd=success").listFiles())
+      .toSeq.flatten.filter(_.isDirectory).map(_.getName).toSet
+    assert(streamDirs == Set("streamd=strict", "streamd=lax"), s"got $streamDirs")
+  }
+
+  private def sortedRowsBy(df: DataFrame, idCol: String): Seq[Row] =
+    df.select(idCol, "status").orderBy(idCol).collect().toSeq
+
   test("maintenance interleaves with a live stream: ledger and data survive compact+expire") {
     import graft.streaming.StreamingValidation.{checkpointIdentity, processAndCommit}
     val log = newLog()
