@@ -62,6 +62,15 @@ object Maintenance {
     * [[SnapshotLog.readTableForPartitions]]' residual filter file-skipping
     * even though the per-commit path pruning is gone for compacted data.
     *
+    * `rewriteThresholdBytes` makes the rewrite SELECTIVE (the
+    * rewrite_data_files file-group picker, and the difference between a
+    * viable and a non-viable compaction at 10^12 rows): only roots whose
+    * mean file size is below the threshold are rewritten; well-sized roots
+    * survive untouched and are re-listed verbatim in the replacing
+    * manifest — so steady-state maintenance cost is proportional to the
+    * FRAGMENTED fraction of the table, not to the table. `None` rewrites
+    * everything.
+    *
     * Compacting `annotated` re-points the derived `valid` table (its
     * statusd=success subtree) in the same commit — one atomic swap for both.
     */
@@ -69,18 +78,33 @@ object Maintenance {
       spark: SparkSession,
       log: SnapshotLog,
       table: String,
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      rewriteThresholdBytes: Option[Long] = None
   ): CompactionStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val head = log.head.getOrElse(throw new IllegalStateException("compact: empty snapshot log"))
-    val paths = log.tablePaths(head, table)
-    require(paths.nonEmpty, s"compact: table $table has no data in ${head.snapshotId}")
+    val allPaths = log.tablePaths(head, table)
+    require(allPaths.nonEmpty, s"compact: table $table has no data in ${head.snapshotId}")
 
     val fs = log.fs
-    val (filesBefore, bytesBefore) = paths.foldLeft((0L, 0L)) { case ((nf, nb), p) =>
+    val sized = allPaths.map { p =>
       val s = fs.getContentSummary(new Path(p))
-      (nf + s.getFileCount, nb + s.getLength)
+      (p, s.getFileCount, s.getLength)
     }
+    val filesBefore = sized.map(_._2).sum
+    val threshold = rewriteThresholdBytes.getOrElse(Long.MaxValue)
+    // Selective mode never re-picks a prior compaction's output: it was
+    // already written at target size, so its mean file size is small only
+    // when the DATA is small — rewriting it again can't improve it (and
+    // would make threshold-compaction non-convergent). Full mode (None)
+    // still folds old compact roots into the new one.
+    val (rewrite, keep) = sized.partition { case (p, nf, nb) =>
+      (rewriteThresholdBytes.isEmpty || !p.contains("/p-compact-")) &&
+        (nf == 0 || nb / math.max(nf, 1L) < threshold)
+    }
+    if (rewrite.isEmpty) return CompactionStats(head, filesBefore, filesBefore, 0L)
+    val paths = rewrite.map(_._1)
+    val bytesBefore = rewrite.map(_._3).sum
     val nFiles = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
 
     val df = log.readPaths(spark, paths)
@@ -101,11 +125,16 @@ object Maintenance {
     (if (routes.nonEmpty) writer.partitionBy(routes.map(_._1): _*) else writer).parquet(newRoot)
 
     // `valid` is a subtree view of `annotated`; swap both under one commit.
-    val repointValid =
-      table == "annotated" && log.tablePaths(head, "valid").nonEmpty
+    // Selective rewrites keep the valid paths of surviving roots verbatim
+    // and point the rewritten fraction's share at the new root's subtree.
+    val keptRoots = keep.map(_._1)
+    val oldValid = if (table == "annotated") log.tablePaths(head, "valid") else Seq.empty
+    val keptValid = oldValid.filter(v => keptRoots.exists(r => v == r || v.startsWith(r + "/")))
+    val rewrittenHadValid = oldValid.size > keptValid.size
+    val newValid = keptValid ++ (if (rewrittenHadValid) Seq(SnapshotLog.validDir(newRoot)) else Seq.empty)
     val tables =
-      Map(table -> Seq(newRoot)) ++
-        (if (repointValid) Map("valid" -> Seq(SnapshotLog.validDir(newRoot))) else Map.empty)
+      Map(table -> (keptRoots :+ newRoot)) ++
+        (if (newValid.nonEmpty) Map("valid" -> newValid) else Map.empty)
 
     val committed = log.commit(
       Manifest(
@@ -123,7 +152,8 @@ object Maintenance {
         tablesReplaced = tables.keys.toSeq.sorted
       )
     )
-    val filesAfter = fs.getContentSummary(new Path(newRoot)).getFileCount
+    val filesAfter =
+      fs.getContentSummary(new Path(newRoot)).getFileCount + keep.map(_._2).sum
     CompactionStats(committed, filesBefore, filesAfter, bytesBefore)
   }
 

@@ -111,6 +111,55 @@ class MaintenanceSpec extends SparkSpec {
     intercept[Exception](log.readTableChanges(spark, 0, 5, "annotated").count())
   }
 
+  test("selective compact: well-sized roots survive untouched, only fragmented roots rewrite") {
+    import org.apache.spark.sql.functions._
+    import graft.table.Manifest
+    val log = newLog()
+    // root A: well-sized (80k rows, 1 file per statusd) — must NOT be rewritten.
+    // roots B, C: fragmented (500 rows across 8 files each).
+    def writeRoot(tag: String, rows: Long, filesEach: Int, prev: Option[Manifest]): (String, Manifest) = {
+      val root = log.dataDir(tag, "annotated")
+      spark.range(rows).repartition(filesEach)
+        .select(concat(lit(tag + "_"), col("id")).as("image_id"),
+          when(col("id") % 10 === 0, "invalid").otherwise("success").as("status"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        .withColumn("statusd", col("status"))
+        .write.partitionBy("statusd").parquet(root)
+      val m = log.commit(Manifest("", 0L, prev.map(_.snapshotId), "v1", "spec", Seq(tag.last - '0'),
+        complete = false, tables = Map("annotated" -> Seq(root),
+          "valid" -> Seq(graft.table.SnapshotLog.validDir(root))),
+        metrics = Map.empty, sketches = Map.empty, createdAtMs = 1L))
+      (root, m)
+    }
+    val (rootA, mA) = writeRoot("root0", 80000, 1, None)
+    val (_, mB) = writeRoot("root1", 500, 8, Some(mA))
+    val (_, _) = writeRoot("root2", 500, 8, Some(mB))
+    val head0 = log.head.get
+    val beforeAnn = sortedRows(log.readTable(spark, head0, "annotated"))
+    val beforeValid = sortedRows(log.readTable(spark, head0, "valid"))
+
+    // threshold sits between the fragmented (~tiny) and well-sized file size
+    val c = Maintenance.compact(spark, log, "annotated", rewriteThresholdBytes = Some(64 * 1024))
+    val head = log.head.get
+    val annPaths = log.tablePaths(head, "annotated")
+    assert(annPaths.size == 2 && annPaths.contains(rootA), s"kept root missing: $annPaths")
+    assert(c.filesAfter < c.filesBefore)
+    assert(sortedRows(log.readTable(spark, head, "annotated")) == beforeAnn)
+    assert(sortedRows(log.readTable(spark, head, "valid")) == beforeValid)
+
+    // expire after checkpoint reclaims ONLY the rewritten fragmented roots
+    log.checkpoint(log.head.get)
+    val e = Maintenance.expire(log)
+    val fs = new org.apache.hadoop.fs.Path(rootA).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(e.tableDirsDeleted == 2 && fs.exists(new org.apache.hadoop.fs.Path(rootA)))
+    assert(sortedRows(log.readTable(spark, log.head.get, "annotated")) == beforeAnn)
+
+    // nothing below threshold anymore: second selective compact is a no-op
+    val c2 = Maintenance.compact(spark, log, "annotated", rewriteThresholdBytes = Some(64 * 1024))
+    assert(c2.filesBefore == c2.filesAfter && c2.bytesRewritten == 0L)
+    assert(log.head.get.sequence == c2.manifest.sequence, "no-op must not commit")
+  }
+
   test("compact re-derives dual (statusd, streamd) routing for multi-stream tables") {
     import org.apache.spark.sql.functions._
     import graft.constraint.{ConstraintSet, DefaultFill, MaxLength, MinLength, NonNull}
