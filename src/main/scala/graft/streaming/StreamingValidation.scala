@@ -80,7 +80,7 @@ object StreamingValidation {
       SnapshotLog.writeAnnotated(res.annotated.drop("_decode"), annotatedPath, s"sv_$tag")
 
     val ann = log.readPaths(spark, Seq(annotatedPath)) // nonempty: batch.isEmpty guarded above
-    ann
+    val rollups = ann
       .groupBy(col("partition_id"))
       .agg(
         count(when(col("status") === graft.model.Status.Success, 1)).as("n_success"),
@@ -89,7 +89,7 @@ object StreamingValidation {
       )
       .select(lit(snapshotId).as("snapshot_id"), col("partition_id"),
         col("n_success"), col("n_invalid"), col("n_error"))
-      .coalesce(1).write.mode("overwrite").parquet(rollPath)
+    rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
 
     val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
     val vio =
@@ -118,6 +118,11 @@ object StreamingValidation {
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
+      tableSchemas = {
+        val annSchema = res.annotated.drop("_decode").schema.json
+        Map("valid" -> annSchema, "annotated" -> annSchema,
+          "violations" -> vio.schema.json, "rollups" -> rollups.schema.json)
+      },
       metrics = Map(
         "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
         "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),
@@ -168,7 +173,7 @@ object StreamingValidation {
     val (nS, nI, nE) =
       SnapshotLog.writeAnnotated(res.annotated, annotatedPath, s"svm_$tag", Some(streamCol))
     val ann = log.readPaths(spark, Seq(annotatedPath))
-    ann
+    val rollups = ann
       .groupBy(col(streamCol).as("stream"), col("partition_id"))
       .agg(
         count(when(col("status") === graft.model.Status.Success, 1)).as("n_success"),
@@ -177,12 +182,11 @@ object StreamingValidation {
       )
       .select(lit(snapshotId).as("snapshot_id"), col("stream"), col("partition_id"),
         col("n_success"), col("n_invalid"), col("n_error"))
-      .coalesce(1).write.mode("overwrite").parquet(rollPath)
+    rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
     val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
     val failing = if (failingDirs.isEmpty) ann.limit(0) else log.readPaths(spark, failingDirs)
-    graft.engine.MultiStreamEngine
-      .violationRows(failing, snapshotId, idField, streamCol)
-      .write.mode("overwrite").parquet(vioPath)
+    val vio = graft.engine.MultiStreamEngine.violationRows(failing, snapshotId, idField, streamCol)
+    vio.write.mode("overwrite").parquet(vioPath)
     val prev = head.map(_.metrics).getOrElse(Map.empty)
     Some(log.commit(Manifest(
       snapshotId = "",
@@ -198,6 +202,11 @@ object StreamingValidation {
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
+      tableSchemas = {
+        val annSchema = res.annotated.schema.json
+        Map("valid" -> annSchema, "annotated" -> annSchema,
+          "violations" -> vio.schema.json, "rollups" -> rollups.schema.json)
+      },
       metrics = Map(
         "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
         "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),

@@ -107,7 +107,11 @@ object Maintenance {
     val bytesBefore = rewrite.map(_._3).sum
     val nFiles = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = log.readPaths(spark, paths)
+    // Rewrite under the chain's NEWEST schema: older files surface null for
+    // later-added columns, so the compacted files carry the full current
+    // schema (physical schema migration rides along with compaction, as in
+    // Iceberg).
+    val df = log.readPaths(spark, paths, log.tableSchema(head, table))
     val fields = df.schema.fieldNames.toSet
     val routes = routeDirs.filter { case (_, src) => fields.contains(src) }
     val clusterCols =
@@ -149,7 +153,8 @@ object Maintenance {
         metrics = head.metrics, // cumulative maps carry forward unchanged
         sketches = head.sketches,
         createdAtMs = System.currentTimeMillis(),
-        tablesReplaced = tables.keys.toSeq.sorted
+        tablesReplaced = tables.keys.toSeq.sorted,
+        tableSchemas = tables.keys.map(_ -> df.schema.json).toMap
       )
     )
     val filesAfter =

@@ -150,6 +150,14 @@ final class MultiStreamValidationJob(
               "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
               "rollups" -> Seq(rollPath)
             ),
+            // FILE schemas (statusd/streamd live only in dir names)
+            tableSchemas = {
+              val annSchema = res.annotated.drop("_pid").schema.json
+              Map(
+                "valid" -> annSchema, "annotated" -> annSchema,
+                "violations" -> gated.schema.json, "rollups" -> rollups.schema.json
+              )
+            },
             metrics = Map(
               "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
               "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

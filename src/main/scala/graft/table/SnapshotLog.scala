@@ -62,7 +62,15 @@ final case class Manifest(
       * the compacted rewrite supersedes every older file of that table, so
       * readers must not union the old paths in — and after
       * [[Maintenance.expire]] those paths no longer exist. */
-    tablesReplaced: Seq[String] = Seq.empty
+    tablesReplaced: Seq[String] = Seq.empty,
+    /** parquet FILE schema (StructType JSON) per table written by THIS
+      * commit (delta, like `tables`). Readers apply the NEWEST schema on
+      * the chain ([[SnapshotLog.tableSchema]]) instead of inferring from
+      * footers — at 10^5-file scale that removes all planning-time schema
+      * I/O, and it makes additive schema evolution read correctly (older
+      * files yield null for columns a newer constraint version added,
+      * instead of sampled-footer inference silently dropping them). */
+    tableSchemas: Map[String, String] = Map.empty
 )
 
 /** Append-only snapshot log over any Hadoop filesystem.
@@ -147,6 +155,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
         tables = tableNames.map(t => t -> tablePaths(m, t).reverse).toMap,
         streamBatches = chain(m).flatMap(_.streamBatches.keys).toSet
           .map((k: String) => k -> committedStreamBatches(m, k).toSeq.sorted).toMap,
+        tableSchemas = tableNames.flatMap(t => tableSchemaJson(m, t).map(t -> _)).toMap,
         checkpoint = true,
         createdAtMs = System.currentTimeMillis()
       )
@@ -185,6 +194,20 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def tablePaths(m: Manifest, table: String): Seq[String] =
     chainFor(m, table).flatMap(_.tables.getOrElse(table, Seq.empty)).reverse
 
+  private def tableSchemaJson(m: Manifest, table: String): Option[String] =
+    chainFor(m, table).iterator.flatMap(_.tableSchemas.get(table)).nextOption()
+
+  /** The NEWEST recorded file schema of `table` on `m`'s chain — commits
+    * record what they wrote (delta, like `tables`), so the first hit
+    * newest-first is the current schema and older files simply surface
+    * null for columns added later. None on pre-schema manifests (readers
+    * fall back to parquet footer inference).
+    */
+  def tableSchema(m: Manifest, table: String): Option[org.apache.spark.sql.types.StructType] =
+    tableSchemaJson(m, table).map(
+      org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType]
+    )
+
   /** Atomic commit: temp write + rename is the commit point. Sequence is
     * assigned here (head+1); a racing writer loses the rename and retries
     * at the next sequence (single-writer in this engine, but the protocol
@@ -221,7 +244,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def readTable(spark: SparkSession, m: Manifest, table: String): DataFrame = {
     val paths = tablePaths(m, table)
     require(paths.nonEmpty, s"table $table has no data in ${m.snapshotId}")
-    readPaths(spark, paths)
+    readPaths(spark, paths, tableSchema(m, table))
   }
 
   /** Time-travel read: the table exactly as of snapshot `seq` — every
@@ -256,13 +279,23 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       if (m.checkpoint || m.tablesReplaced.contains(table)) Seq.empty
       else m.tables.getOrElse(table, Seq.empty)
     }
-    if (paths.nonEmpty) readPaths(spark, paths)
+    if (paths.nonEmpty) readPaths(spark, paths, tableSchema(read(toSeq), table))
     else readTable(spark, read(toSeq), table).limit(0) // empty delta, real schema
   }
 
-  /** The one-scan read shape shared by every snapshot reader. */
-  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(paths: _*)
+  /** The one-scan read shape shared by every snapshot reader. A recorded
+    * `schema` skips parquet footer inference entirely (planning-time I/O
+    * that scales with file count) and lets older files surface null for
+    * later-added columns.
+    */
+  def readPaths(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None
+  ): DataFrame = {
+    val reader = spark.read.option("recursiveFileLookup", "true")
+    schema.fold(reader)(reader.schema).parquet(paths: _*)
+  }
 
   /** Like [[readTable]], but an empty path list yields an empty frame with
     * `schemaFrom`'s table schema instead of throwing — for tables that are
@@ -270,7 +303,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     */
   def readTableOrEmpty(spark: SparkSession, m: Manifest, table: String, schemaFrom: String): DataFrame = {
     val paths = tablePaths(m, table)
-    if (paths.nonEmpty) readPaths(spark, paths)
+    if (paths.nonEmpty) readPaths(spark, paths, tableSchema(m, table))
     else readTable(spark, m, schemaFrom).limit(0)
   }
 
@@ -293,7 +326,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       .flatMap(_.tables.getOrElse(table, Seq.empty))
       .reverse
     require(paths.nonEmpty, s"table $table has no data for partitions $wanted in ${m.snapshotId}")
-    readPaths(spark, paths)
+    readPaths(spark, paths, tableSchema(m, table))
       .filter(org.apache.spark.sql.functions.col("partition_id").isin(wanted.toSeq: _*))
   }
 }

@@ -280,6 +280,15 @@ final class ValidationJob(
                 "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
                 "rollups" -> Seq(rollPath)
               ),
+              // FILE schemas (statusd lives only in dir names): readers plan
+              // from these instead of sampling parquet footers.
+              tableSchemas = {
+                val annSchema = res.annotated.drop("_pid").drop("_decode").schema.json
+                Map(
+                  "valid" -> annSchema, "annotated" -> annSchema,
+                  "violations" -> gated.schema.json, "rollups" -> rollupSchema.json
+                )
+              },
               metrics = Map(
                 "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
                 "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

@@ -270,6 +270,44 @@ class SnapshotSpec extends SparkSpec {
     assert(df.count() == m.metrics("n_success"))
   }
 
+  test("manifest schemas: additive evolution reads correctly, no footer inference needed") {
+    import org.apache.spark.sql.functions._
+    import graft.table.Manifest
+    val log = newLog()
+    // v1 commit: files WITHOUT the `extra` column
+    val r1 = log.dataDir("00000001", "docs")
+    val v1 = spark.range(100).select(col("id"), lit("a").as("tag"))
+    v1.write.parquet(r1)
+    val m1 = log.commit(Manifest("", 0L, None, "v1", "spec", Seq(0), complete = false,
+      tables = Map("docs" -> Seq(r1)), metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = 1L, tableSchemas = Map("docs" -> v1.schema.json)))
+    // v2 commit: schema adds `extra`
+    val r2 = log.dataDir("00000002", "docs")
+    val v2 = spark.range(100, 200).select(col("id"), lit("b").as("tag"), lit(7).as("extra"))
+    v2.write.parquet(r2)
+    log.commit(Manifest("", 0L, Some(m1.snapshotId), "v2", "spec", Seq(1), complete = true,
+      tables = Map("docs" -> Seq(r2)), metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = 2L, tableSchemas = Map("docs" -> v2.schema.json)))
+
+    val head = log.head.get
+    // newest schema wins after a manifest round-trip through JSON
+    assert(log.tableSchema(head, "docs").map(_.fieldNames.toSeq) == Some(Seq("id", "tag", "extra")))
+    val df = log.readTable(spark, head, "docs")
+    assert(df.columns.toSeq == Seq("id", "tag", "extra"))
+    assert(df.count() == 200)
+    assert(df.filter(col("extra").isNull).count() == 100, "pre-evolution rows read as null")
+    // the old view still reads with the OLD schema (no `extra`)
+    assert(log.readTableAsOf(spark, 1, "docs").columns.toSeq == Seq("id", "tag"))
+    // compaction migrates old files onto the newest physical schema
+    graft.table.Maintenance.compact(spark, log, "docs")
+    val compacted = log.readTable(spark, log.head.get, "docs")
+    assert(compacted.columns.toSeq == Seq("id", "tag", "extra") && compacted.count() == 200)
+    assert(compacted.filter(col("extra").isNull).count() == 100)
+    // checkpoint squashes the newest schema into the stop manifest
+    log.checkpoint(log.head.get)
+    assert(log.tableSchema(log.head.get, "docs").map(_.fieldNames.length) == Some(3))
+  }
+
   test("empty partition batches commit (resume skips them) without poisoning reads") {
     // ADVICE r2: a partitionBy write of zero rows creates no files, so an
     // all-empty batch used to register unreadable annotated paths.
