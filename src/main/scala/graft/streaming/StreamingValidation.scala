@@ -76,10 +76,12 @@ object StreamingValidation {
     // annotated frame is written routed by statusd (status stays a data
     // column) with batch totals observed during the same job; rollups and
     // violations derive from the written table, not a pipeline re-run.
+    val annFrame = res.annotated.drop("_decode")
     val (nS, nI, nE) =
-      SnapshotLog.writeAnnotated(res.annotated.drop("_decode"), annotatedPath, s"sv_$tag")
+      SnapshotLog.writeAnnotated(annFrame, annotatedPath, s"sv_$tag")
 
-    val ann = log.readPaths(spark, Seq(annotatedPath)) // nonempty: batch.isEmpty guarded above
+    // nonempty: batch.isEmpty guarded above; known file schema: no footer sampling
+    val ann = log.readPaths(spark, Seq(annotatedPath), Some(annFrame.schema))
     val rollups = ann
       .groupBy(col("partition_id"))
       .agg(
@@ -98,7 +100,7 @@ object StreamingValidation {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           ValidationEngine.violationRowSchema)
       else
-        ValidationEngine.violationRows(log.readPaths(spark, failingDirs), snapshotId, "image_id")
+        ValidationEngine.violationRows(log.readPaths(spark, failingDirs, Some(annFrame.schema)), snapshotId, "image_id")
     vio.write.mode("overwrite").parquet(vioPath)
 
     val validPaths =
@@ -118,11 +120,8 @@ object StreamingValidation {
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
-      tableSchemas = {
-        val annSchema = res.annotated.drop("_decode").schema.json
-        Map("valid" -> annSchema, "annotated" -> annSchema,
-          "violations" -> vio.schema.json, "rollups" -> rollups.schema.json)
-      },
+      tableSchemas = Map("valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
+        "violations" -> vio.schema.json, "rollups" -> rollups.schema.json),
       metrics = Map(
         "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
         "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),
@@ -172,7 +171,7 @@ object StreamingValidation {
     // the written table (explicit failing-directory reads).
     val (nS, nI, nE) =
       SnapshotLog.writeAnnotated(res.annotated, annotatedPath, s"svm_$tag", Some(streamCol))
-    val ann = log.readPaths(spark, Seq(annotatedPath))
+    val ann = log.readPaths(spark, Seq(annotatedPath), Some(res.annotated.schema))
     val rollups = ann
       .groupBy(col(streamCol).as("stream"), col("partition_id"))
       .agg(
@@ -184,7 +183,9 @@ object StreamingValidation {
         col("n_success"), col("n_invalid"), col("n_error"))
     rollups.coalesce(1).write.mode("overwrite").parquet(rollPath)
     val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
-    val failing = if (failingDirs.isEmpty) ann.limit(0) else log.readPaths(spark, failingDirs)
+    val failing =
+      if (failingDirs.isEmpty) ann.limit(0)
+      else log.readPaths(spark, failingDirs, Some(res.annotated.schema))
     val vio = graft.engine.MultiStreamEngine.violationRows(failing, snapshotId, idField, streamCol)
     vio.write.mode("overwrite").parquet(vioPath)
     val prev = head.map(_.metrics).getOrElse(Map.empty)

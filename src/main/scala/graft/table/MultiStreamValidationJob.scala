@@ -76,15 +76,16 @@ final class MultiStreamValidationJob(
       // (per-(stream,partition) rollups are stream-value-dependent and
       // can't be observed globally; they aggregate over the written table's
       // three narrow columns below).
+      val annFrame = res.annotated.drop("_pid")
       val (nS, nI, nE) = phase("write_annotated") {
-        SnapshotLog.writeAnnotated(res.annotated.drop("_pid"), annotatedPath, s"ms_$tag", Some(streamCol))
+        SnapshotLog.writeAnnotated(annFrame, annotatedPath, s"ms_$tag", Some(streamCol))
       }
 
       // 2. rollups per (stream, partition) from the written table — one
       // columnar scan over (stream, partition_id, status) only.
       val ann =
-        if (nS + nI + nE > 0) log.readPaths(spark, Seq(annotatedPath))
-        else res.annotated.drop("_pid").limit(0)
+        if (nS + nI + nE > 0) log.readPaths(spark, Seq(annotatedPath), Some(annFrame.schema))
+        else annFrame.limit(0)
       val rollups = ann
         .groupBy(col(streamCol).as("stream"), col("partition_id"))
         .agg(
@@ -102,7 +103,7 @@ final class MultiStreamValidationJob(
       val failingDirs = SnapshotLog.failingDirs(annotatedPath, nI, nE)
       val failing =
         if (failingDirs.isEmpty) ann.limit(0)
-        else log.readPaths(spark, failingDirs)
+        else log.readPaths(spark, failingDirs, Some(annFrame.schema))
       val vioSource = MultiStreamEngine.violationRows(failing, snapshotId, idField, streamCol)
       val kept = suppressViolations.fold(vioSource)(vioSource.filter)
       val rejectedObs = Observation(s"msgate_$tag")
@@ -151,13 +152,10 @@ final class MultiStreamValidationJob(
               "rollups" -> Seq(rollPath)
             ),
             // FILE schemas (statusd/streamd live only in dir names)
-            tableSchemas = {
-              val annSchema = res.annotated.drop("_pid").schema.json
-              Map(
-                "valid" -> annSchema, "annotated" -> annSchema,
-                "violations" -> gated.schema.json, "rollups" -> rollups.schema.json
-              )
-            },
+            tableSchemas = Map(
+              "valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
+              "violations" -> gated.schema.json, "rollups" -> rollups.schema.json
+            ),
             metrics = Map(
               "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
               "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

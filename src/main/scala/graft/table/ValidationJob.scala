@@ -170,8 +170,9 @@ final class ValidationJob(
         // real column stays IN the data files so snapshot readers can use
         // one multi-root recursive scan (SnapshotLog.readPaths) instead of
         // Hive partition inference, which rejects multi-root reads.
+        val annFrame = res.annotated.drop("_pid").drop("_decode")
         phase("write_annotated") {
-          res.annotated.drop("_pid").drop("_decode")
+          annFrame
             .observe(statsObs, statExprs.head, statExprs.tail: _*)
             .withColumn("statusd", col("status"))
             .write.mode("overwrite").partitionBy("statusd").parquet(annotatedPath)
@@ -195,7 +196,7 @@ final class ValidationJob(
               java.util.Collections.emptyList[Row](), ValidationEngine.violationRowSchema)
           else
             ValidationEngine.violationRows(
-              log.readPaths(spark, failingDirs),
+              log.readPaths(spark, failingDirs, Some(annFrame.schema)), // known file schema: no footer sampling
               opts.snapshotId,
               "image_id"
             )
@@ -282,13 +283,10 @@ final class ValidationJob(
               ),
               // FILE schemas (statusd lives only in dir names): readers plan
               // from these instead of sampling parquet footers.
-              tableSchemas = {
-                val annSchema = res.annotated.drop("_pid").drop("_decode").schema.json
-                Map(
-                  "valid" -> annSchema, "annotated" -> annSchema,
-                  "violations" -> gated.schema.json, "rollups" -> rollupSchema.json
-                )
-              },
+              tableSchemas = Map(
+                "valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
+                "violations" -> gated.schema.json, "rollups" -> rollupSchema.json
+              ),
               metrics = Map(
                 "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
                 "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),
