@@ -118,7 +118,7 @@ final class MultiStreamValidationJob(
           gateRes.annotated
             .observe(rejectedObs, count(when(col("status") =!= Status.Success, 1)).as("rejected"))
             .filter(col("status") === Status.Success)
-            .select(kept.columns.map(c => if (c == "status") col("violation_status").as("status") else col(c)): _*)
+            .select(kept.columns.toIndexedSeq.map(c => if (c == "status") col("violation_status").as("status") else col(c)): _*)
       }
       phase("write_violations") {
         gated.write.mode("overwrite").parquet(vioPath)
