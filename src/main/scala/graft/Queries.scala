@@ -440,6 +440,8 @@ object Queries {
     }
     val rootsBefore = log.tablePaths(m, "annotated").size.toLong
     val before = fingerprint(log.readTable(s, m, "annotated"))
+    // incremental scan: (1, 2] = exactly partition 1's commit
+    val delta = log.readTableChanges(s, 1, 2, "annotated").count()
     val c = graft.table.Maintenance.compact(s, log, "annotated")
     log.checkpoint(log.head.get)
     val e = graft.table.Maintenance.expire(log)
@@ -456,7 +458,8 @@ object Queries {
       ("03_roots", rootsBefore, rootsAfter, rootsAfter == 1L),
       ("04_files", c.filesBefore, c.filesAfter, c.filesAfter < c.filesBefore),
       ("05_dirs_reclaimed", 0L, e.tableDirsDeleted, e.tableDirsDeleted > 0),
-      ("06_valid_repointed", m.metrics("n_success"), validCount, validCount == m.metrics("n_success"))
+      ("06_valid_repointed", m.metrics("n_success"), validCount, validCount == m.metrics("n_success")),
+      ("07_incremental_delta", 500L, delta, delta == 500L)
     ).toDF("check", "before", "after", "pass").orderBy("check")
   }
 
