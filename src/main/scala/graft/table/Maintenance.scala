@@ -162,6 +162,26 @@ object Maintenance {
     CompactionStats(committed, filesBefore, filesAfter, bytesBefore)
   }
 
+  /** Roll the table state back to snapshot `seq` (Iceberg
+    * `rollback_to_snapshot`): commits a CHECKPOINT squash of the old
+    * manifest — a chain stop holding exactly `seq`'s resolved file lists,
+    * partition set, metrics, sketches, schemas, and stream-batch ledger.
+    * Everything after `seq` (a bad batch, a mistaken rewrite) disappears
+    * from every reader AND from resume semantics (rolled-back partitions
+    * reprocess), atomically and without touching data; the next [[expire]]
+    * reclaims the rolled-back commits' files. History before `seq` stays
+    * time-travelable until then.
+    *
+    * Fails (inside [[SnapshotLog.checkpoint]]'s chain walk) if `seq`
+    * precedes the latest checkpoint and its ancestors were expired — a
+    * rollback target must still be readable, same rule as time travel.
+    */
+  def rollbackTo(log: SnapshotLog, seq: Long): Manifest = {
+    val head = log.head.getOrElse(throw new IllegalStateException("rollbackTo: empty snapshot log"))
+    require(seq <= head.sequence, s"rollbackTo: $seq is ahead of HEAD ${head.sequence}")
+    log.checkpoint(log.read(seq))
+  }
+
   /** Retire history: delete manifests OLDER than the retained window (HEAD
     * back to the nearest checkpoint — exactly the set [[SnapshotLog.chain]]
     * can reach) and every `data/p-&#42;/&lt;table&gt;` directory that no
@@ -185,15 +205,23 @@ object Maintenance {
       names.flatMap(t => log.tablePaths(m, t))
     }.map(qualified).toSet
 
-    // Manifests strictly below the retention window.
+    // Manifests strictly below the retention window; plus temp manifests a
+    // crashed commit left behind (never visible — the name filter in head/
+    // read skips them — but they leak). Age-guarded so a commit in flight
+    // RIGHT NOW (its tmp window is milliseconds) is never raced.
     val floor = retained.map(_.sequence).min
     var manifestsDeleted = 0L
     if (fs.exists(log.snapDir)) {
-      fs.listStatus(log.snapDir)
+      val entries = fs.listStatus(log.snapDir)
+      entries
         .map(_.getPath)
         .filter(_.getName.matches("\\d{8}\\.json"))
         .filter(_.getName.stripSuffix(".json").toLong < floor)
         .foreach { p => if (fs.delete(p, false)) manifestsDeleted += 1 }
+      val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
+      entries
+        .filter(st => st.getPath.getName.startsWith(".tmp-") && st.getModificationTime < staleBefore)
+        .foreach(st => fs.delete(st.getPath, false))
     }
 
     // Unreachable table dirs (granularity: data/p-<tag>/<table> — one batch

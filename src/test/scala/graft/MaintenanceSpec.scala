@@ -236,6 +236,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(log.readTable(spark, head, "annotated").count() == 4 * 300)
   }
 
+  test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
+    val goodSeq = log.head.get.sequence
+    val goodRows = sortedRows(log.readTable(spark, log.head.get, "annotated"))
+    val goodMetrics = log.head.get.metrics("n_success")
+
+    // the "bad" batch: partitions 2 and 3 land, then get rolled back
+    val mBad = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
+    val badRoot = new org.apache.hadoop.fs.Path(log.tablePaths(mBad, "annotated").last)
+    assert(log.readTable(spark, mBad, "annotated").count() == N)
+
+    val rolled = Maintenance.rollbackTo(log, goodSeq)
+    assert(rolled.sequence == mBad.sequence + 1 && rolled.checkpoint)
+    val head = log.head.get
+    assert(sortedRows(log.readTable(spark, head, "annotated")) == goodRows)
+    assert(head.metrics("n_success") == goodMetrics, "cumulative metrics revert with the data")
+    assert(log.committedPartitions(head) == Set(0, 1), "rolled-back partitions must reprocess")
+
+    // resume after rollback reprocesses ONLY the rolled-back partitions
+    var calls = Vector.empty[Int]
+    def countingInput(p: Int): DataFrame = { calls :+= p; inputFor(p) }
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(countingInput, Seq(0, 1, 2, 3))
+    assert(calls == Vector(2, 3), s"expected partitions 2,3 to reprocess, got $calls")
+    assert(sortedRows(log.readTable(spark, log.head.get, "annotated")).size == N.toInt)
+
+    // a rollback taken to be FINAL: roll back again, then expire reclaims the bad files
+    Maintenance.rollbackTo(log, goodSeq)
+    val e = Maintenance.expire(log)
+    val fs = badRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(e.tableDirsDeleted > 0 && !fs.exists(badRoot), "bad batch's files reclaimed")
+    assert(sortedRows(log.readTable(spark, log.head.get, "annotated")) == goodRows)
+  }
+
   test("compact -> checkpoint -> expire: space reclaimed, reads intact, expired travel throws") {
     val log = newLog()
     val m = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2, 3))
