@@ -118,9 +118,16 @@ object Maintenance {
       routes.map { case (_, src) => col(src) } ++
         (if (fields.contains("partition_id")) Seq(col("partition_id")) else Nil)
 
+    // A uniform tiebreaker as the LAST range key: range partitioning on
+    // low-cardinality keys alone (e.g. a table with `status` but no
+    // `partition_id`) collapses all duplicates of a value into one range —
+    // one giant file per value at scale. Ties split evenly instead; the
+    // primary keys still dominate the ranges, so per-file min/max bands on
+    // the real columns stay narrow (the tiebreaker is not in the sort).
     val shaped =
       if (clusterCols.nonEmpty)
-        df.repartitionByRange(nFiles, clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+        df.repartitionByRange(nFiles, (clusterCols :+ org.apache.spark.sql.functions.rand(head.sequence)): _*)
+          .sortWithinPartitions(clusterCols: _*)
       else df.repartition(nFiles)
     val routed = routes.foldLeft(shaped) { case (d, (dir, src)) => d.withColumn(dir, col(src)) }
 
