@@ -422,6 +422,14 @@ object Queries {
   def imgMaintenance(s: SparkSession): DataFrame = {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_maint_q").toString
+    try imgMaintenanceBody(s, dir)
+    finally new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  private def imgMaintenanceBody(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val log = new graft.table.SnapshotLog(dir, s.sparkContext.hadoopConfiguration)
     def inputFor(p: Int): DataFrame = {
       val pLocal = p.toLong
@@ -449,9 +457,6 @@ object Queries {
     val after = fingerprint(log.readTable(s, head, "annotated"))
     val validCount = log.readTable(s, head, "valid").count()
     val rootsAfter = log.tablePaths(head, "annotated").size.toLong
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(dir), true)
     Seq(
       ("01_rows", before._1, after._1, before._1 == after._1),
       ("02_fingerprint", before._2, after._2, before._2 == after._2),

@@ -120,8 +120,7 @@ object StreamingValidation {
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
-      tableSchemas = Map("valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
-        "violations" -> vio.schema.json, "rollups" -> rollups.schema.json),
+      tableSchemas = SnapshotLog.tableSchemasFor(annFrame.schema, vio.schema, rollups.schema),
       metrics = Map(
         "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
         "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),
@@ -203,11 +202,7 @@ object StreamingValidation {
         "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
         "rollups" -> Seq(rollPath)
       ),
-      tableSchemas = {
-        val annSchema = res.annotated.schema.json
-        Map("valid" -> annSchema, "annotated" -> annSchema,
-          "violations" -> vio.schema.json, "rollups" -> rollups.schema.json)
-      },
+      tableSchemas = SnapshotLog.tableSchemasFor(res.annotated.schema, vio.schema, rollups.schema),
       metrics = Map(
         "n_success" -> (prev.getOrElse("n_success", 0L) + nS),
         "n_invalid" -> (prev.getOrElse("n_invalid", 0L) + nI),

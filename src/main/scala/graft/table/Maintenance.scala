@@ -110,8 +110,15 @@ object Maintenance {
     // Rewrite under the chain's NEWEST schema: older files surface null for
     // later-added columns, so the compacted files carry the full current
     // schema (physical schema migration rides along with compaction, as in
-    // Iceberg).
-    val df = log.readPaths(spark, paths, log.tableSchema(head, table))
+    // Iceberg). A pre-schema chain (no recorded tableSchemas) must merge
+    // ALL footers instead of sampling one: single-footer inference on an
+    // evolved chain would silently rewrite WITHOUT the newer columns — and
+    // the rewrite is destructive after expire.
+    val df = log.tableSchema(head, table) match {
+      case some @ Some(_) => log.readPaths(spark, paths, some)
+      case None =>
+        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(paths: _*)
+    }
     val fields = df.schema.fieldNames.toSet
     val routes = routeDirs.filter { case (_, src) => fields.contains(src) }
     val clusterCols =
@@ -224,7 +231,12 @@ object Maintenance {
         .map(_.getPath)
         .filter(_.getName.matches("\\d{8}\\.json"))
         .filter(_.getName.stripSuffix(".json").toLong < floor)
-        .foreach { p => if (fs.delete(p, false)) manifestsDeleted += 1 }
+        .foreach { p =>
+          if (fs.delete(p, false)) {
+            manifestsDeleted += 1
+            log.uncache(p.getName.stripSuffix(".json").toLong) // expired travel must throw, not hit cache
+          }
+        }
       val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
       entries
         .filter(st => st.getPath.getName.startsWith(".tmp-") && st.getModificationTime < staleBefore)

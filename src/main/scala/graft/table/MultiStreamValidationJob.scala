@@ -151,11 +151,8 @@ final class MultiStreamValidationJob(
               "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
               "rollups" -> Seq(rollPath)
             ),
-            // FILE schemas (statusd/streamd live only in dir names)
-            tableSchemas = Map(
-              "valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
-              "violations" -> gated.schema.json, "rollups" -> rollups.schema.json
-            ),
+            // FILE schemas: readers plan from these, not parquet footers.
+            tableSchemas = SnapshotLog.tableSchemasFor(annFrame.schema, gated.schema, rollups.schema),
             metrics = Map(
               "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
               "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

@@ -107,7 +107,18 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     if (seqs.isEmpty) None else Some(read(seqs.max))
   }
 
-  def read(seq: Long): Manifest = {
+  // Committed manifests are immutable, so reads are cached per log instance:
+  // chain walks (readers, checkpoint, expire reachability) become in-memory
+  // after the first read instead of re-opening+re-parsing JSON per walk —
+  // at thousands of delta commits that is the difference between O(chain)
+  // and O(chain²) metadata I/O. [[Maintenance.expire]] evicts what it
+  // deletes so expired time travel still throws.
+  @transient private lazy val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Manifest]
+
+  private[table] def uncache(seq: Long): Unit = manifestCache.remove(seq)
+
+  def read(seq: Long): Manifest = manifestCache.getOrElseUpdate(seq, {
     val in = fs.open(manifestPath(seq))
     try {
       val bytes = new Array[Byte](fs.getFileStatus(manifestPath(seq)).getLen.toInt)
@@ -122,7 +133,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
         streamBatches = rawBatches.map { case (k, v) => (k, v.map(_.asInstanceOf[Number].longValue)) }
       )
     } finally in.close()
-  }
+  })
 
   /** Manifest and its ancestors back to (and including) the nearest
     * checkpoint, newest first. Chain length = commits since the last
@@ -267,20 +278,40 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     * Metadata-only commits contribute nothing: a checkpoint squashes the
     * chain (its `tables` are FULL lists — counting them would replay the
     * whole table) and a compaction rewrites existing rows (`tablesReplaced`)
-    * — neither adds data. Throws if a needed manifest was retired by
-    * [[Maintenance.expire]]: an incremental reader that fell behind the
-    * retention window must re-bootstrap from a full snapshot read, same as
-    * Iceberg.
+    * — neither adds data. The range is resolved by walking `toSeq`'s PARENT
+    * LINEAGE, not raw sequence numbers: commits abandoned by
+    * [[Maintenance.rollbackTo]] are not ancestors of later snapshots, so
+    * their rows never surface as phantom deltas — and a `fromSeq` that was
+    * itself rolled back (the consumer's cursor points at abandoned history)
+    * throws rather than silently skipping. Also throws if a needed manifest
+    * was retired by [[Maintenance.expire]]: an incremental reader that fell
+    * behind the retention window must re-bootstrap from a full snapshot
+    * read, same as Iceberg.
     */
   def readTableChanges(spark: SparkSession, fromSeq: Long, toSeq: Long, table: String): DataFrame = {
     require(0 <= fromSeq && fromSeq <= toSeq, s"need 0 <= fromSeq <= toSeq, got ($fromSeq, $toSeq]")
-    val paths = ((fromSeq + 1) to toSeq).flatMap { seq =>
-      val m = read(seq)
-      if (m.checkpoint || m.tablesReplaced.contains(table)) Seq.empty
-      else m.tables.getOrElse(table, Seq.empty)
+    val lineage = Vector.newBuilder[Manifest]
+    var cur: Option[Manifest] = if (toSeq == fromSeq) None else Some(read(toSeq))
+    while (cur.exists(_.sequence > fromSeq)) {
+      lineage += cur.get
+      cur = cur.get.parentId.map(id => read(id.stripPrefix("snap-").toLong))
     }
+    if (fromSeq > 0 && toSeq > fromSeq && !cur.exists(_.sequence == fromSeq))
+      throw new IllegalStateException(
+        s"snapshot $fromSeq is not an ancestor of $toSeq (rolled back?) — re-bootstrap from a full read")
+    val paths = lineage.result().reverse
+      .filterNot(m => m.checkpoint || m.tablesReplaced.contains(table))
+      .flatMap(_.tables.getOrElse(table, Seq.empty))
     if (paths.nonEmpty) readPaths(spark, paths, tableSchema(read(toSeq), table))
-    else readTable(spark, read(toSeq), table).limit(0) // empty delta, real schema
+    else {
+      // empty delta: real schema from the recorded metadata; fall back to a
+      // (possibly throwing) full-view read only on pre-schema chains
+      val mTo = read(toSeq)
+      tableSchema(mTo, table) match {
+        case Some(st) => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None     => readTable(spark, mTo, table).limit(0)
+      }
+    }
   }
 
   /** The one-scan read shape shared by every snapshot reader. A recorded
@@ -334,6 +365,23 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
 object SnapshotLog {
   import org.apache.spark.sql.Observation
   import org.apache.spark.sql.functions._
+
+  /** The one manifest-schema map every validate-then-produce writer records:
+    * `valid` is a subtree view of `annotated` so they share the annotated
+    * FILE schema (the `*d` routing columns live only in directory names).
+    * One construction site — a writer that forgets a table would silently
+    * degrade its readers back to footer inference.
+    */
+  def tableSchemasFor(
+      annotated: org.apache.spark.sql.types.StructType,
+      violations: org.apache.spark.sql.types.StructType,
+      rollups: org.apache.spark.sql.types.StructType
+  ): Map[String, String] = Map(
+    "valid" -> annotated.json,
+    "annotated" -> annotated.json,
+    "violations" -> violations.json,
+    "rollups" -> rollups.json
+  )
 
   /** The single-pass produce shape shared by the batch and streaming gates:
     * write `annotated` routed by statusd (and streamd when `streamCol` is

@@ -281,12 +281,8 @@ final class ValidationJob(
                 "violations" -> Seq(vioPath), // empty unpartitioned writes still leave a schema-bearing file
                 "rollups" -> Seq(rollPath)
               ),
-              // FILE schemas (statusd lives only in dir names): readers plan
-              // from these instead of sampling parquet footers.
-              tableSchemas = Map(
-                "valid" -> annFrame.schema.json, "annotated" -> annFrame.schema.json,
-                "violations" -> gated.schema.json, "rollups" -> rollupSchema.json
-              ),
+              // FILE schemas: readers plan from these, not parquet footers.
+              tableSchemas = SnapshotLog.tableSchemasFor(annFrame.schema, gated.schema, rollupSchema),
               metrics = Map(
                 "n_success" -> (prevMetrics.getOrElse("n_success", 0L) + nS),
                 "n_invalid" -> (prevMetrics.getOrElse("n_invalid", 0L) + nI),

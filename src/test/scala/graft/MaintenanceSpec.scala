@@ -262,6 +262,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(calls == Vector(2, 3), s"expected partitions 2,3 to reprocess, got $calls")
     assert(sortedRows(log.readTable(spark, log.head.get, "annotated")).size == N.toInt)
 
+    // incremental reads resolve by parent lineage: the rolled-back commits
+    // are not ancestors of the rollback checkpoint, so they are NOT deltas —
+    // and a cursor pointing INTO abandoned history throws (re-bootstrap)
+    val afterResume = log.head.get.sequence
+    assert(log.readTableChanges(spark, goodSeq, rolled.sequence, "annotated").count() == 0)
+    assert(log.readTableChanges(spark, goodSeq, afterResume, "annotated").count() == N / 2)
+    intercept[IllegalStateException](
+      log.readTableChanges(spark, mBad.sequence, afterResume, "annotated"))
+
     // a rollback taken to be FINAL: roll back again, then expire reclaims the bad files
     Maintenance.rollbackTo(log, goodSeq)
     val e = Maintenance.expire(log)

@@ -308,6 +308,28 @@ class SnapshotSpec extends SparkSpec {
     assert(log.tableSchema(log.head.get, "docs").map(_.fieldNames.length) == Some(3))
   }
 
+  test("pre-schema chains compact under MERGED footers — evolved columns survive the rewrite") {
+    import org.apache.spark.sql.functions._
+    import graft.table.Manifest
+    val log = newLog()
+    // no tableSchemas recorded anywhere (a log written before schema-in-manifest)
+    val r1 = log.dataDir("00000001", "docs")
+    spark.range(100).select(col("id")).write.parquet(r1)
+    val m1 = log.commit(Manifest("", 0L, None, "v1", "spec", Seq(0), complete = false,
+      tables = Map("docs" -> Seq(r1)), metrics = Map.empty, sketches = Map.empty, createdAtMs = 1L))
+    val r2 = log.dataDir("00000002", "docs")
+    spark.range(100, 200).select(col("id"), lit(7).as("extra")).write.parquet(r2)
+    log.commit(Manifest("", 0L, Some(m1.snapshotId), "v2", "spec", Seq(1), complete = true,
+      tables = Map("docs" -> Seq(r2)), metrics = Map.empty, sketches = Map.empty, createdAtMs = 2L))
+
+    graft.table.Maintenance.compact(spark, log, "docs")
+    log.checkpoint(log.head.get)
+    graft.table.Maintenance.expire(log) // the rewrite is now the only copy
+    val df = log.readTable(spark, log.head.get, "docs")
+    assert(df.columns.contains("extra"), "single-footer inference would have dropped the evolved column")
+    assert(df.count() == 200 && df.filter(col("extra").isNotNull).count() == 100)
+  }
+
   test("empty partition batches commit (resume skips them) without poisoning reads") {
     // ADVICE r2: a partitionBy write of zero rows creates no files, so an
     // all-empty batch used to register unreadable annotated paths.
