@@ -290,13 +290,22 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     */
   def readTableChanges(spark: SparkSession, fromSeq: Long, toSeq: Long, table: String): DataFrame = {
     require(0 <= fromSeq && fromSeq <= toSeq, s"need 0 <= fromSeq <= toSeq, got ($fromSeq, $toSeq]")
+    // Walk reads ONLY manifests in (fromSeq, toSeq]: the parent's sequence
+    // is derived from its snapshot id, so a cursor sitting exactly at the
+    // retention floor never touches (possibly expired) manifests below it.
     val lineage = Vector.newBuilder[Manifest]
-    var cur: Option[Manifest] = if (toSeq == fromSeq) None else Some(read(toSeq))
-    while (cur.exists(_.sequence > fromSeq)) {
-      lineage += cur.get
-      cur = cur.get.parentId.map(id => read(id.stripPrefix("snap-").toLong))
+    var reachedFrom = fromSeq == 0
+    var curSeq = toSeq
+    var walking = toSeq > fromSeq
+    while (walking) {
+      val m = read(curSeq)
+      lineage += m
+      m.parentId.map(_.stripPrefix("snap-").toLong) match {
+        case Some(p) if p > fromSeq => curSeq = p
+        case other => reachedFrom = reachedFrom || other.contains(fromSeq); walking = false
+      }
     }
-    if (fromSeq > 0 && toSeq > fromSeq && !cur.exists(_.sequence == fromSeq))
+    if (fromSeq > 0 && toSeq > fromSeq && !reachedFrom)
       throw new IllegalStateException(
         s"snapshot $fromSeq is not an ancestor of $toSeq (rolled back?) — re-bootstrap from a full read")
     val paths = lineage.result().reverse

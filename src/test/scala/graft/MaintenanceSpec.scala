@@ -236,6 +236,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(log.readTable(spark, head, "annotated").count() == 4 * 300)
   }
 
+  test("SnapshotFollower: durable incremental consumption, replay on crash, rebootstrap after expire") {
+    import graft.streaming.SnapshotFollower
+    val log = newLog()
+    val follower = new SnapshotFollower(log, "annotated",
+      Files.createTempDirectory("graft_follow").toString, spark.sparkContext.hadoopConfiguration)
+
+    var seen = Vector.empty[(Long, Long, Long)] // (rows, from, to)
+    def consume(df: DataFrame, from: Long, to: Long): Unit = seen :+= ((df.count(), from, to))
+
+    assert(follower.poll(spark)(consume) == 0L && seen.isEmpty) // empty log: no-op
+
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
+    assert(follower.poll(spark)(consume) == 2L)
+    assert(seen == Vector((N / 2, 0L, 2L)))
+    assert(follower.poll(spark)(consume) == 0L, "caught up: callback not re-invoked")
+
+    // crash between callback and cursor write => same delta replays (at-least-once)
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1, 2))
+    intercept[RuntimeException](follower.poll(spark) { (df, f, t) => consume(df, f, t); throw new RuntimeException("crash") })
+    assert(follower.cursor == 2L, "cursor must NOT advance past a failed callback")
+    assert(follower.poll(spark)(consume) == 1L)
+    assert(seen.drop(1) == Vector((N / 4, 2L, 3L), (N / 4, 2L, 3L)))
+
+    // maintenance squeezes the log; a fallen-behind cursor rebootstraps
+    Maintenance.compact(spark, log, "annotated")
+    log.checkpoint(log.head.get)
+    Maintenance.expire(log)
+    new SnapshotFollower(log, "annotated",
+      Files.createTempDirectory("graft_follow2").toString, spark.sparkContext.hadoopConfiguration) match {
+      case stale =>
+        intercept[Exception](stale.poll(spark)((_, _, _) => ())) // cursor 0 predates retention
+        assert(stale.rebootstrap(spark)((df, _, _) => assert(df.count() == 3 * N / 4)) == log.head.get.sequence)
+        assert(stale.poll(spark)((_, _, _) => fail("caught up after rebootstrap")) == 0L)
+    }
+    // the original follower's cursor (3) predates the new checkpoint (5):
+    // expire deleted the manifests its range needs — it must rebootstrap
+    // too (Iceberg semantics: expire invalidates consumers older than the
+    // retention window, even if their missed commits added no rows).
+    intercept[Exception](follower.poll(spark)(consume))
+    follower.rebootstrap(spark)((df, _, _) => assert(df.count() == 3 * N / 4))
+    assert(follower.poll(spark)((_, _, _) => fail("caught up after rebootstrap")) == 0L)
+  }
+
   test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
     val log = newLog()
     new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
