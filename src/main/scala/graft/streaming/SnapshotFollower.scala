@@ -40,34 +40,44 @@ final class SnapshotFollower(
 
   private def fs = new Path(cursorDir).getFileSystem(conf)
   private def cursorPath = new Path(cursorDir, s"cursor-$table.txt")
+  private def cursorTmp = new Path(cursorDir, s".cursor-$table.tmp")
 
-  /** Last fully processed sequence; 0 = from the beginning. */
-  def cursor: Long = {
+  private def readLong(p: Path): Option[Long] = {
     val f = fs
-    if (!f.exists(cursorPath)) 0L
+    if (!f.exists(p)) None
     else {
-      val in = f.open(cursorPath)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      val in = f.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLongOption
       finally in.close()
     }
   }
 
+  /** Last fully processed sequence; 0 = from the beginning. The update
+    * protocol is write-tmp → delete-old → rename, so a crash can leave
+    * ONLY the (fully written, fsynced-on-close) tmp behind — it is the
+    * recovery source then. When both exist the durable file wins: it is the
+    * older of the two, which for an at-least-once consumer is the safe
+    * direction (replay, never skip).
+    */
+  def cursor: Long =
+    readLong(cursorPath).orElse(readLong(cursorTmp)).getOrElse(0L)
+
   private def writeCursor(seq: Long): Unit = {
     val f = fs
     f.mkdirs(new Path(cursorDir))
-    val tmp = new Path(cursorDir, s".cursor-$table.tmp")
-    val out = f.create(tmp, true)
+    val out = f.create(cursorTmp, true)
     try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f.delete(cursorPath, false)
-    if (!f.rename(tmp, cursorPath))
+    if (!f.rename(cursorTmp, cursorPath))
       throw new IllegalStateException(s"cursor update for $table lost a rename race")
   }
 
-  /** Process everything committed since the cursor. Returns the number of
-    * snapshots advanced (0 = already caught up; the callback is not
-    * invoked). The callback receives the delta frame and the processed
-    * range `(fromSeq, toSeq]`.
+  /** Process everything committed since the cursor. Returns the SEQUENCE
+    * DISTANCE advanced (0 = already caught up; the callback is not
+    * invoked) — rollback-abandoned sequences inside the range count toward
+    * the distance but contribute no rows. The callback receives the delta
+    * frame and the processed range `(fromSeq, toSeq]`.
     */
   def poll(spark: SparkSession)(f: (DataFrame, Long, Long) => Unit): Long = {
     val head = log.head.getOrElse(return 0L)
@@ -85,7 +95,9 @@ final class SnapshotFollower(
     */
   def rebootstrap(spark: SparkSession)(f: (DataFrame, Long, Long) => Unit): Long = {
     val head = log.head.getOrElse(return 0L)
-    f(log.readTable(spark, head, table), 0L, head.sequence)
+    // lenient: a table with no data yet (all rows failing, say) rebootstraps
+    // to an empty frame instead of wedging the consumer
+    f(log.readTableLenient(spark, head, table), 0L, head.sequence)
     writeCursor(head.sequence)
     head.sequence
   }

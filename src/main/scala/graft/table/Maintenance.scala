@@ -111,14 +111,15 @@ object Maintenance {
     // later-added columns, so the compacted files carry the full current
     // schema (physical schema migration rides along with compaction, as in
     // Iceberg). A pre-schema chain (no recorded tableSchemas) must merge
-    // ALL footers instead of sampling one: single-footer inference on an
-    // evolved chain would silently rewrite WITHOUT the newer columns — and
-    // the rewrite is destructive after expire.
-    val df = log.tableSchema(head, table) match {
-      case some @ Some(_) => log.readPaths(spark, paths, some)
-      case None =>
-        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(paths: _*)
-    }
+    // the footers of ALL roots — including the kept ones, since the
+    // replacing manifest's recorded schema becomes authoritative for them
+    // too: sampling one footer (or merging only the rewritten subset) would
+    // silently narrow the table and the rewrite is destructive after
+    // expire.
+    val tableWideSchema = log.tableSchema(head, table).getOrElse(
+      log.readPaths(spark, allPaths, mergeFooters = true).schema
+    )
+    val df = log.readPaths(spark, paths, Some(tableWideSchema))
     val fields = df.schema.fieldNames.toSet
     val routes = routeDirs.filter { case (_, src) => fields.contains(src) }
     val clusterCols =

@@ -107,18 +107,21 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     if (seqs.isEmpty) None else Some(read(seqs.max))
   }
 
-  // Committed manifests are immutable, so reads are cached per log instance:
-  // chain walks (readers, checkpoint, expire reachability) become in-memory
-  // after the first read instead of re-opening+re-parsing JSON per walk —
-  // at thousands of delta commits that is the difference between O(chain)
-  // and O(chain²) metadata I/O. [[Maintenance.expire]] evicts what it
-  // deletes so expired time travel still throws.
-  @transient private lazy val manifestCache =
-    scala.collection.concurrent.TrieMap.empty[Long, Manifest]
+  // Committed manifests are immutable, so reads are cached PROCESS-WIDE by
+  // (root, sequence): chain walks (readers, checkpoint, expire reachability)
+  // become in-memory after the first read instead of re-opening+re-parsing
+  // JSON per walk — at thousands of delta commits that is the difference
+  // between O(chain) and O(chain²) metadata I/O. [[Maintenance.expire]]
+  // evicts what it deletes — the process-wide key means EVERY log instance
+  // over the same root sees the eviction, so expired time travel still
+  // throws. (A different process that cached the manifest before expire ran
+  // can still serve it until restart — inherent to any cache; the engine is
+  // single-writer and maintenance runs in the writer's process.)
+  private def cacheKey(seq: Long): (String, Long) = (root, seq)
 
-  private[table] def uncache(seq: Long): Unit = manifestCache.remove(seq)
+  private[table] def uncache(seq: Long): Unit = SnapshotLog.manifestCache.remove(cacheKey(seq))
 
-  def read(seq: Long): Manifest = manifestCache.getOrElseUpdate(seq, {
+  def read(seq: Long): Manifest = SnapshotLog.manifestCache.getOrElseUpdate(cacheKey(seq), {
     val in = fs.open(manifestPath(seq))
     try {
       val bytes = new Array[Byte](fs.getFileStatus(manifestPath(seq)).getLen.toInt)
@@ -312,29 +315,41 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       .filterNot(m => m.checkpoint || m.tablesReplaced.contains(table))
       .flatMap(_.tables.getOrElse(table, Seq.empty))
     if (paths.nonEmpty) readPaths(spark, paths, tableSchema(read(toSeq), table))
-    else {
-      // empty delta: real schema from the recorded metadata; fall back to a
-      // (possibly throwing) full-view read only on pre-schema chains
-      val mTo = read(toSeq)
-      tableSchema(mTo, table) match {
-        case Some(st) => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-        case None     => readTable(spark, mTo, table).limit(0)
-      }
-    }
+    else readTableLenient(spark, read(toSeq), table).limit(0) // empty delta, real schema
   }
 
   /** The one-scan read shape shared by every snapshot reader. A recorded
     * `schema` skips parquet footer inference entirely (planning-time I/O
     * that scales with file count) and lets older files surface null for
-    * later-added columns.
+    * later-added columns. `mergeFooters` is the pre-schema-chain fallback
+    * that must see EVERY file's columns (schema-destructive operations like
+    * compaction use it — single-footer sampling would drop evolved
+    * columns).
     */
   def readPaths(
       spark: SparkSession,
       paths: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      mergeFooters: Boolean = false
   ): DataFrame = {
-    val reader = spark.read.option("recursiveFileLookup", "true")
+    val reader = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", mergeFooters.toString)
     schema.fold(reader)(reader.schema).parquet(paths: _*)
+  }
+
+  /** Read `table` as of `m`, yielding an empty frame with the RECORDED
+    * schema when the table has no data paths yet (e.g. `valid` while every
+    * row has failed) — throws only on pre-schema chains where the empty
+    * frame's schema is unknowable.
+    */
+  def readTableLenient(spark: SparkSession, m: Manifest, table: String): DataFrame = {
+    val paths = tablePaths(m, table)
+    if (paths.nonEmpty) readPaths(spark, paths, tableSchema(m, table))
+    else tableSchema(m, table) match {
+      case Some(st) => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None     => readTable(spark, m, table) // throws with the explanatory message
+    }
   }
 
   /** Like [[readTable]], but an empty path list yields an empty frame with
@@ -374,6 +389,9 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
 object SnapshotLog {
   import org.apache.spark.sql.Observation
   import org.apache.spark.sql.functions._
+
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Manifest]
 
   /** The one manifest-schema map every validate-then-produce writer records:
     * `valid` is a subtree view of `annotated` so they share the annotated

@@ -259,6 +259,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(follower.poll(spark)(consume) == 1L)
     assert(seen.drop(1) == Vector((N / 4, 2L, 3L), (N / 4, 2L, 3L)))
 
+    // crash window in the cursor update: only the fully-written tmp remains
+    // => cursor recovers from it rather than resetting to 0 (full replay)
+    locally {
+      val f = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = follower.cursor
+      val dir2 = Files.createTempDirectory("graft_follow_crash").toString
+      val crashed = new SnapshotFollower(log, "annotated", dir2, spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dir2, ".cursor-annotated.tmp")
+      val out = f.create(tmp, true); out.write(cur.toString.getBytes); out.close()
+      assert(crashed.cursor == cur, "recover from tmp when the durable file is missing")
+    }
+
     // maintenance squeezes the log; a fallen-behind cursor rebootstraps
     Maintenance.compact(spark, log, "annotated")
     log.checkpoint(log.head.get)
@@ -336,9 +348,15 @@ class MaintenanceSpec extends SparkSpec {
     assert(noop.tableDirsDeleted == 0 && fs.exists(oldRoot))
 
     log.checkpoint(log.head.get)
+    // warm a SECOND log instance's view of soon-expired history: eviction
+    // must be process-wide, not per-instance
+    val log2 = new SnapshotLog(log.root, spark.sparkContext.hadoopConfiguration)
+    assert(log2.readTableAsOf(spark, 1, "annotated").count() > 0)
+
     val stats = Maintenance.expire(log)
     assert(stats.manifestsDeleted > 0 && stats.tableDirsDeleted > 0 && stats.bytesReclaimed > 0)
     assert(!fs.exists(oldRoot), "pre-compaction annotated dir should be reclaimed")
+    intercept[Exception](log2.readTableAsOf(spark, 1, "annotated"))
 
     val head = log.head.get
     assert(sortedRows(log.readTable(spark, head, "annotated")) == beforeAnn)

@@ -330,6 +330,33 @@ class SnapshotSpec extends SparkSpec {
     assert(df.count() == 200 && df.filter(col("extra").isNotNull).count() == 100)
   }
 
+  test("pre-schema SELECTIVE compact records the table-wide schema, not the rewritten subset's") {
+    import org.apache.spark.sql.functions._
+    import graft.table.Manifest
+    val log = newLog()
+    // kept (well-sized) root carries the evolved column; fragmented roots do not
+    val rKept = log.dataDir("00000001", "docs")
+    spark.range(60000).repartition(1)
+      .select(col("id"), sha2(col("id").cast("string"), 256).as("pad"), lit(9).as("extra"))
+      .write.parquet(rKept)
+    val m1 = log.commit(Manifest("", 0L, None, "v1", "spec", Seq(0), complete = false,
+      tables = Map("docs" -> Seq(rKept)), metrics = Map.empty, sketches = Map.empty, createdAtMs = 1L))
+    val rFrag = log.dataDir("00000002", "docs")
+    spark.range(60000, 60100).repartition(8)
+      .select(col("id"), sha2(col("id").cast("string"), 256).as("pad"))
+      .write.parquet(rFrag)
+    log.commit(Manifest("", 0L, Some(m1.snapshotId), "v2", "spec", Seq(1), complete = true,
+      tables = Map("docs" -> Seq(rFrag)), metrics = Map.empty, sketches = Map.empty, createdAtMs = 2L))
+
+    graft.table.Maintenance.compact(spark, log, "docs", rewriteThresholdBytes = Some(64 * 1024))
+    val head = log.head.get
+    assert(log.tablePaths(head, "docs").contains(rKept), "well-sized root must survive")
+    // the replacing manifest's recorded schema must cover the KEPT root's column
+    assert(log.tableSchema(head, "docs").exists(_.fieldNames.contains("extra")))
+    val df = log.readTable(spark, head, "docs")
+    assert(df.filter(col("extra").isNotNull).count() == 60000)
+  }
+
   test("empty partition batches commit (resume skips them) without poisoning reads") {
     // ADVICE r2: a partitionBy write of zero rows creates no files, so an
     // all-empty batch used to register unreadable annotated paths.
