@@ -166,7 +166,24 @@ object Bench {
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = fmt(results)
-    val sf1Field = if (sf1Results.isEmpty) "" else s""""queries_sf1":${fmt(sf1Results)},"""
+    // A run without the opt-in sweep preserves a previous run's sf1 map in
+    // the file artifact (expensive to produce; a default invocation should
+    // not silently discard it).
+    val carriedSf1: String =
+      if (sf1Results.nonEmpty) ""
+      else
+        try {
+          val prev = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")), "UTF-8")
+          val i = prev.indexOf("\"queries_sf1\":")
+          if (i < 0) ""
+          else {
+            val start = prev.indexOf('{', i)
+            val end = prev.indexOf('}', start)
+            if (start < 0 || end < 0) "" else s""""queries_sf1":${prev.substring(start, end + 1)},"""
+          }
+        } catch { case _: Throwable => "" }
+    val sf1Field = if (sf1Results.isEmpty) carriedSf1 else s""""queries_sf1":${fmt(sf1Results)},"""
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s"sf":"$sfName%s",""" +
