@@ -50,6 +50,25 @@ class TableModelSpec extends SparkSpec {
         assert(got == expected.map(_.toLong), s"trial $trial mismatch after ops")
       }
 
+      // An incremental consumer rides along: after every op it polls (or
+      // rebootstraps when maintenance invalidated its cursor) and its
+      // accumulated view must equal the model too — this exercises the
+      // lineage-walk semantics of readTableChanges under every interleaving.
+      val follower = new graft.streaming.SnapshotFollower(log, "docs",
+        Files.createTempDirectory(s"graft_model_cur_$trial").toString,
+        spark.sparkContext.hadoopConfiguration)
+      var followerView = Vector.empty[Long]
+      def followerCatchUp(): Unit =
+        try follower.poll(spark) { (df, _, _) =>
+          followerView ++= df.select("id").collect().map(_.getLong(0))
+        }
+        catch {
+          case _: Exception => // cursor behind retention or inside rolled-back history
+            follower.rebootstrap(spark) { (df, _, _) =>
+              followerView = df.select("id").collect().map(_.getLong(0)).toVector
+            }
+        }
+
       commitRows() // non-empty start
       for (_ <- 1 to 10) {
         rnd.nextInt(6) match {
@@ -68,6 +87,10 @@ class TableModelSpec extends SparkSpec {
               val target = candidates(rnd.nextInt(candidates.size))
               Maintenance.rollbackTo(log, target)
               model = model.takeWhile(_.seq <= target)
+              // an at-least-once consumer that already processed rows the
+              // rollback removed must re-sync (poll throws → rebootstrap);
+              // drop them from its model view as a re-synced consumer would
+              followerView = followerView.filter(model.flatMap(_.rows).map(_.toLong).toSet)
             }
           case 5 =>
             if (checkpointed) Maintenance.expire(log)
@@ -75,6 +98,9 @@ class TableModelSpec extends SparkSpec {
         if (model.nonEmpty) check()
         else assert(log.tablePaths(log.head.get, "docs").isEmpty ||
           log.readTable(spark, log.head.get, "docs").count() == 0)
+        followerCatchUp()
+        assert(followerView.sorted == model.flatMap(_.rows).map(_.toLong).sorted,
+          s"trial $trial: follower view diverged from the model")
       }
     }
   }
