@@ -573,6 +573,27 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup over learned k-means clusters. Oracle
+    * determinism mirrors [[qEmbeddingNearDup]]: the sf tables' embeddings
+    * are synthetic-random (natural max pair cosine ≈ 0.51), so the only
+    * pairs ≥ 0.92 are the planted exact duplicates, and an exact duplicate
+    * ALWAYS shares its original's nearest centroid — cluster candidacy
+    * recalls them exactly, making the clustered result match DuckDB's
+    * exhaustive O(n²) scan. (Boundary-straddling near-dups — absent in
+    * this data — are the technique's documented miss; OpsSpec covers the
+    * perturbed-neighbor case differentially.)
+    */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val embs = base.unionByName(
+      base.filter(col("vec_id") < 30).select((col("vec_id") + 2000000).as("vec_id"), col("embedding"), col("label"))
+    )
+    Dedup
+      .semanticPairs(embs, "vec_id", "embedding", numClusters = 16, threshold = 0.92)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine_3dp"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Frame-sampling plumbing (one media row → N frame rows) over document
     * text as the media payload — char-addressed so DuckDB (`substring`,
     * char-based) and Spark (`substr` on string, char-based) agree; the
@@ -619,6 +640,7 @@ object Queries {
     "q24_fingerprint" -> (qFingerprint _),
     "q25_ann_brute_force" -> (qAnnBruteForce _),
     "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
+    "q37_semantic_dedup" -> (qSemanticDedup _),
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
@@ -797,6 +819,15 @@ object Queries {
                 round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine_3dp
          FROM u a, u b
          WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+         ORDER BY 1, 2""",
+    "q37_semantic_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 2000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 30)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine_3dp
+         FROM u a, u b
+         WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
          ORDER BY 1, 2""",
     "q24_fingerprint" ->
       """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),

@@ -236,4 +236,36 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space (reusing the
+    * IVF coarse quantizer, fit once) and verify exact cosine WITHIN each
+    * cluster only. Data-adaptive candidacy vs [[embeddingPairs]]' random
+    * hyperplanes: clusters follow the data's density, so semantically tight
+    * regions get fine candidacy while empty space costs nothing. The trade
+    * (as in the paper): near-dup pairs straddling a cluster boundary are
+    * missed — identical vectors never are (same nearest centroid by
+    * definition), and `capBuckets` bounds any degenerate cluster so the
+    * candidate mass is Σ|cluster|² with |cluster| capped, never O(n²).
+    */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double = 0.95,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    val ivf = Similarity.IvfIndex.fit(df, idCol, vecCol, numClusters)
+    val sigs = capBuckets(
+      ivf.assigned
+        .select(col("data_id").as("id"), col("_dv").as("v"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      Seq("bucket"), maxBucket)
+    sigs
+      .as("a")
+      .join(sigs.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

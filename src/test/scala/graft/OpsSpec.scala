@@ -177,6 +177,26 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean")
   }
 
+  test("semantic dedup: exact and perturbed planted dups found via k-means clusters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dup = embs.filter(col("vec_id") === 0).select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    // tiny deterministic perturbation: cosine ≈ 0.999+, same nearest centroid
+    val base = embs.filter(col("vec_id") === 1).select("embedding").collect()(0).getSeq[Float](0).toArray
+    val near = base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) 1e-3f else -1e-3f) }
+    val nearRow = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(200000L, near.toSeq)),
+      StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)))))
+    val pairs = Dedup.semanticPairs(
+      embs.unionByName(dup).unionByName(nearRow, allowMissingColumns = true),
+      "vec_id", "embedding", numClusters = 8, threshold = 0.99)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 100000L)), s"planted exact dup not found: $found")
+    assert(found.contains((1L, 200000L)), s"perturbed near-dup not found: $found")
+    // nothing else in this synthetic space is that close
+    assert(found.size == 2, s"false positives: $found")
+  }
+
   test("embedding near-dup pairs: planted duplicate found via LSH buckets") {
     val dup = embs.filter(col("vec_id") === 0).select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     val pairs = Dedup.embeddingPairs(embs.unionByName(dup), "vec_id", "embedding", dim = 64, threshold = 0.999, nbits = 12)
