@@ -594,6 +594,23 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Train/eval decontamination over the documents table: a pseudo eval
+    * set (doc_id ≡ 0 mod 97) against the remaining corpus, word 3-grams
+    * (the synthetic corpus' word-resampled texts share 3-grams richly;
+    * at 13-grams — the GPT-3 setting — only planted duplicates match).
+    * Oracle: DuckDB reproduces the gram explosion + semi-join exactly; the
+    * Spark side carries xxhash64(gram) through the shuffle, which is
+    * id-set-identical to the string join.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    TextOps
+      .contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing (one media row → N frame rows) over document
     * text as the media payload — char-addressed so DuckDB (`substring`,
     * char-based) and Spark (`substr` on string, char-based) agree; the
@@ -641,6 +658,7 @@ object Queries {
     "q25_ann_brute_force" -> (qAnnBruteForce _),
     "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q37_semantic_dedup" -> (qSemanticDedup _),
+    "q38_decontaminate" -> (qDecontaminate _),
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
@@ -829,6 +847,15 @@ object Queries {
          FROM u a, u b
          WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
          ORDER BY 1, 2""",
+    "q38_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents WHERE text IS NOT NULL),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(w[gs:gs+2], ' ') AS g
+                   FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS gs) s),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         FROM corpus c JOIN bench b USING (g) GROUP BY 1 ORDER BY 1""",
     "q24_fingerprint" ->
       """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),
          g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper FROM f GROUP BY 1)

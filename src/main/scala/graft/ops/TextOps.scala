@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, all
@@ -38,6 +38,47 @@ object TextOps {
   def shingles(c: Column, k: Int): Column =
     when(length(c) < k, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(0), length(c) - k), i => c.substr(i + 1, lit(k)))))
+
+  /** Distinct word n-grams (lowercased, whitespace-tokenized) — the
+    * decontamination unit (GPT-3 appendix C uses 13-grams).
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val w = filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    when(c.isNull || size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - n + 1), i => concat_ws(" ", slice(w, i, lit(n))))))
+  }
+
+  /** Train/eval decontamination: corpus documents sharing ANY word n-gram
+    * with the benchmark set, with the shared-gram count as evidence — the
+    * "remove eval overlap from training data" operator (GPT-3 appendix C /
+    * common 13-gram decontamination). Returns (idCol, n_shared_grams).
+    *
+    * Scale shape: both sides explode to DISTINCT per-doc n-grams and
+    * equi-join; with `hashedCarrier` the join key is xxhash64(gram) — an
+    * 8-byte carrier instead of ~80-byte strings through the shuffle (the
+    * result id set is hash-collision-exact at 2^-64). Benchmark gram sets
+    * (eval suites) are small enough that AQE broadcasts them; the corpus
+    * side stays a streaming explode, never materialized whole.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      hashedCarrier: Boolean = true
+  ): DataFrame = {
+    def gramSide(df: DataFrame, text: String, extra: Seq[Column]): DataFrame = {
+      val g0 = explode(wordNgrams(col(text), n)).as("g0")
+      val g = (if (hashedCarrier) xxhash64(col("g0")) else col("g0")).as("g")
+      df.select(extra :+ g0: _*).select(extra :+ g: _*)
+    }
+    gramSide(corpus, textCol, Seq(col(idCol)))
+      .join(gramSide(benchmark, benchTextCol, Seq.empty).distinct(), Seq("g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams")) // per-doc grams already distinct
+  }
 
   /** 64-bit-hashed k-shingles (distinct) — the LSH-path representation.
     * Set-isomorphic to [[shingles]] under xxhash64 (collisions ~2^-64), so

@@ -177,6 +177,28 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean")
   }
 
+  test("decontamination: 13-gram overlap flags the leaked doc, clean docs survive") {
+    import spark.implicits._
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike extra words here"
+    val benchmark = Seq(
+      (900L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"),
+      (901L, "one two three four five six seven eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, leaked), // contains benchmark 900's full 13-gram
+      (2L, "totally unrelated text with none of those words in it at all whatsoever agreed"),
+      (3L, "one two three four five six seven DIFFERENT eight nine ten eleven twelve thirteen") // broken 13-gram
+    ).toDF("doc_id", "text")
+    val hits = TextOps.contaminatedDocs(corpus, "doc_id", "text", benchmark, "text", n = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L), s"expected only the leaked doc, got $hits")
+    assert(hits(1L) == 1L) // exactly one shared 13-gram
+    // string and hashed carriers agree
+    val str = TextOps.contaminatedDocs(corpus, "doc_id", "text", benchmark, "text", n = 13, hashedCarrier = false)
+      .as[(Long, Long)].collect().toMap
+    assert(str == hits)
+  }
+
   test("semantic dedup: exact and perturbed planted dups found via k-means clusters") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
