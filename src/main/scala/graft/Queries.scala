@@ -611,6 +611,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style word-repetition signals (integer-exact; docs with <2
+    * words have no 2-grams and are excluded, matching the SQL's join
+    * semantics).
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps
+      .repetitionSignals(t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Frame-sampling plumbing (one media row → N frame rows) over document
     * text as the media payload — char-addressed so DuckDB (`substring`,
     * char-based) and Spark (`substr` on string, char-based) agree; the
@@ -659,6 +668,7 @@ object Queries {
     "q27_embedding_near_dup" -> (qEmbeddingNearDup _),
     "q37_semantic_dedup" -> (qSemanticDedup _),
     "q38_decontaminate" -> (qDecontaminate _),
+    "q39_repetition" -> (qRepetition _),
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
@@ -856,6 +866,20 @@ object Queries {
          corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0)
          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
          FROM corpus c JOIN bench b USING (g) GROUP BY 1 ORDER BY 1""",
+    "q39_repetition" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                      CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+                      array_to_string(w[gs:gs+1], ' ') AS g
+               FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS gs) s),
+         c AS (SELECT doc_id, g, count(*) AS c, first(n_words) AS n_words,
+                      first(n_distinct_words) AS n_distinct_words
+               FROM g GROUP BY 1, 2)
+         SELECT doc_id, first(n_words) AS n_words, first(n_distinct_words) AS n_distinct_words,
+                CAST(sum(c) AS BIGINT) AS n_2grams, CAST(max(c) AS BIGINT) AS max_2gram_count,
+                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_2gram_occurrences
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q24_fingerprint" ->
       """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),
          g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper FROM f GROUP BY 1)

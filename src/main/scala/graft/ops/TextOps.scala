@@ -80,6 +80,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_grams")) // per-doc grams already distinct
   }
 
+  /** Word-level repetition signals per document — the Gopher/MassiveText
+    * repetition-filter family (Rae et al. 2021 §A1.1: duplicate-n-gram
+    * fractions) in integer-exact form (counts, not ratios, so the DuckDB
+    * oracle hash-matches bit-for-bit; callers derive the paper's fractions
+    * as n_dup_2gram_occurrences / n_2grams etc.). Two combiner-friendly
+    * aggregations on (doc, gram) then (doc) — scales as a word-count job.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val grams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+    df.select(col(idCol), size(w).cast("bigint").as("n_words"),
+        size(array_distinct(w)).cast("bigint").as("n_distinct_words"),
+        explode(grams).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"),
+        sum(col("c")).as("n_2grams"),
+        max(col("c")).as("max_2gram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("n_dup_2gram_occurrences")
+      )
+  }
+
   /** 64-bit-hashed k-shingles (distinct) — the LSH-path representation.
     * Set-isomorphic to [[shingles]] under xxhash64 (collisions ~2^-64), so
     * jaccard values are preserved, while intersect/union/minhash run on

@@ -177,6 +177,20 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean")
   }
 
+  test("repetition signals: hand-computed Gopher counts") {
+    import spark.implicits._
+    // "a b a b a": words=5 distinct=2; 2-grams = [a b, b a, a b, b a] →
+    // 4 total, max count 2, all 4 occurrences are of duplicated grams
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 4L, 2L, 4L),
+      (2L, 3L, 3L, 2L, 1L, 0L) // "solo" has no 2-grams → excluded
+    ), s"got $got")
+  }
+
   test("decontamination: 13-gram overlap flags the leaked doc, clean docs survive") {
     import spark.implicits._
     val leaked = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike extra words here"
