@@ -620,6 +620,25 @@ object Queries {
       .repetitionSignals(t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** PII scrubbing over the documents table. The synthetic corpus carries
+    * no PII, so the query plants deterministic emails/IPs on every 13th doc
+    * (same concat expression in the oracle SQL) — then redacts and counts.
+    * Parity rests on the dialect-safe regexes of [[TextOps.EmailRe]]/
+    * [[TextOps.Ipv4Re]] and md5 of the redacted text on both sides.
+    */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val seeded = docs.withColumn(
+      "text",
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+          (col("doc_id") % 250).cast("string"), lit(".7 now")))
+        .otherwise(col("text")))
+    TextOps.redactPii(seeded, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling plumbing (one media row → N frame rows) over document
     * text as the media payload — char-addressed so DuckDB (`substring`,
     * char-based) and Spark (`substr` on string, char-based) agree; the
@@ -669,6 +688,7 @@ object Queries {
     "q37_semantic_dedup" -> (qSemanticDedup _),
     "q38_decontaminate" -> (qDecontaminate _),
     "q39_repetition" -> (qRepetition _),
+    "q40_pii_redact" -> (qPiiRedact _),
     "q28_frame_sample" -> (qFrameSample _),
     "q29_errors_text" -> (q29ErrorsText _),
     "q30_cube" -> (q30Cube _),
@@ -880,6 +900,20 @@ object Queries {
                 CAST(sum(c) AS BIGINT) AS n_2grams, CAST(max(c) AS BIGINT) AS max_2gram_count,
                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_2gram_occurrences
          FROM c GROUP BY 1 ORDER BY 1""",
+    "q40_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                     THEN text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+                          CAST(doc_id % 250 AS VARCHAR) || '.7 now'
+                     ELSE text END AS text
+              FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+                md5(regexp_replace(
+                      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5
+         FROM s ORDER BY 1""",
     "q24_fingerprint" ->
       """WITH f AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id FROM documents),
          g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper FROM f GROUP BY 1)

@@ -107,6 +107,29 @@ object TextOps {
       )
   }
 
+  /** PII patterns chosen for identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): ASCII classes only, no lookaround, hyphens last in
+    * classes. Deliberately recall-oriented simple — production scrubbing
+    * layers more patterns; the operator shape (count + replace in one
+    * codegen'd projection) is the point.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub: redact emails and IPv4s, count what was redacted — the
+    * pipeline-side privacy pass every published web corpus applies before
+    * training. Returns (idCol, n_emails, n_ips, redacted).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
+      regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), Ipv4Re, "[IP]").as("redacted")
+    )
+  }
+
   /** 64-bit-hashed k-shingles (distinct) — the LSH-path representation.
     * Set-isomorphic to [[shingles]] under xxhash64 (collisions ~2^-64), so
     * jaccard values are preserved, while intersect/union/minhash run on

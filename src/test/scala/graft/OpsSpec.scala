@@ -177,6 +177,20 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean")
   }
 
+  test("PII redaction: emails and IPs counted and replaced, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or 192.168.1.12 today"),
+      (2L, "no pii here, just 1.2 version numbers and an @ sign"),
+      (3L, "two mails a@b.io c@d.net one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1L, 1L, "write to [EMAIL] or [IP] today")))
+    assert(got(1)._2 == 0L && got(1)._3 == 0L && got(1)._4.contains("@ sign"))
+    assert(got(2) == ((3L, 2L, 1L, "two mails [EMAIL] [EMAIL] one ip [IP]")))
+  }
+
   test("repetition signals: hand-computed Gopher counts") {
     import spark.implicits._
     // "a b a b a": words=5 distinct=2; 2-grams = [a b, b a, a b, b a] →
