@@ -70,9 +70,11 @@ object Bench {
     val effRows = rows * repeat
     val dataDir = s"/tmp/graft_bench/images_n$rows"
 
-    // ---- one-time input generation (pooled content => bounded encode cost)
+    // ---- one-time input generation (pooled content => bounded encode cost;
+    // skipped entirely in sweep-only mode, which never runs the validate job)
     val gen = session(cpus)
-    if (!new java.io.File(dataDir + "/_SUCCESS").exists()) {
+    if (!sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1") &&
+      !new java.io.File(dataDir + "/_SUCCESS").exists()) {
       SyntheticImages
         .images(gen, rows, math.max(cpus * 2, 64), drift = false, contentPool = 4096)
         .toDF()
@@ -120,18 +122,39 @@ object Bench {
     // `shared_*` keys: its sublinearity is the single shared memory
     // controller, not a serial fraction in the plan (pure-CPU work scales
     // 4.0x at 8→32 on this VM).
+    // SPARK_GRAFT_SWEEP_ONLY=1: skip the (expensive) gate levels and carry
+    // the existing artifact's gate fields forward — for refreshing the
+    // per-query map after adding operators without re-measuring scaling.
+    val sweepOnly = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1")
+    val prevGate: Map[String, Double] =
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(new java.io.File("/root/repo/BENCH_SELF.json"))
+        Seq("validate_sec_low", "validate_sec_high", "validate_rows_per_sec_low",
+          "validate_rows_per_sec_high", "shared_sec_low", "shared_sec_high",
+          "shared_rows_per_sec_low", "shared_rows_per_sec_high")
+          .flatMap(k => Option(node.get(k)).map(k -> _.asDouble())).toMap
+      } catch { case _: Throwable => Map.empty }
+    def gateOr(secKey: String, thrKey: String)(body: => (Double, Double)): (Double, Double) =
+      if (sweepOnly && prevGate.contains(secKey) && prevGate.contains(thrKey))
+        (prevGate(secKey), prevGate(thrKey))
+      else body
+
     val gateLow = 2
     val gateHigh = math.min(8, cpus)
     val sharedLow = math.max(cpus / 4, 1)
-    val (secGateLow, thrGateLow) = measure(gateLow)
-    val (secGateHigh, thrGateHigh) = measure(gateHigh)
+    val (secGateLow, thrGateLow) =
+      gateOr("validate_sec_low", "validate_rows_per_sec_low")(measure(gateLow))
+    val (secGateHigh, thrGateHigh) =
+      gateOr("validate_sec_high", "validate_rows_per_sec_high")(measure(gateHigh))
     val gateEfficiency = (thrGateHigh / thrGateLow) / (gateHigh.toDouble / gateLow)
     val (secSharedLow, thrSharedLow) =
       if (sharedLow == gateLow) (secGateLow, thrGateLow)
       else if (sharedLow == gateHigh) (secGateHigh, thrGateHigh)
-      else measure(sharedLow)
+      else gateOr("shared_sec_low", "shared_rows_per_sec_low")(measure(sharedLow))
     val (secSharedHigh, thrSharedHigh) =
-      if (cpus == gateHigh) (secGateHigh, thrGateHigh) else measure(cpus)
+      if (cpus == gateHigh) (secGateHigh, thrGateHigh)
+      else gateOr("shared_sec_high", "shared_rows_per_sec_high")(measure(cpus))
     val sharedEfficiency =
       (thrSharedHigh / thrSharedLow) / (cpus.toDouble / sharedLow)
 

@@ -27,10 +27,19 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Pure-Column cosine — kept as the differential reference for
+    * [[graft.functions.CosineSimExpr]]'s bit-parity property test.
+    */
+  def cosineColumns(a: Column, b: Column): Column = {
     val d = l2norm(a) * l2norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
+
+  /** Cosine similarity — one codegen'd expression (the interpreted
+    * aggregate-over-zip_with form dominates candidate-pair verification;
+    * see [[graft.functions.CosineSimExpr]]).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimExpr(a, b)
 
   /** Deterministic random-hyperplane signature: bit j = sign of the dot
     * product with hyperplane j, whose components are ±1 derived from

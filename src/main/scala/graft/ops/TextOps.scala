@@ -39,14 +39,25 @@ object TextOps {
     when(length(c) < k, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(0), length(c) - k), i => c.substr(i + 1, lit(k)))))
 
-  /** Distinct word n-grams (lowercased, whitespace-tokenized) — the
-    * decontamination unit (GPT-3 appendix C uses 13-grams).
+  /** Lowercased whitespace word array (empty tokens dropped). */
+  def lowerWords(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-grams from an ALREADY-MATERIALIZED words column.
+    * Callers must project [[lowerWords]] into its own column first: a
+    * computed array captured inside `transform`'s lambda is re-evaluated
+    * PER ELEMENT (the text re-splits once per gram — O(words²) per row,
+    * measured 10×+ on the decontamination sweep), while an attribute
+    * reference is a cheap per-element read.
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val w = filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
-    when(c.isNull || size(w) < n, array().cast("array<string>"))
+  def wordNgramsOf(w: Column, n: Int): Column =
+    when(w.isNull || size(w) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(1), size(w) - n + 1), i => concat_ws(" ", slice(w, i, lit(n))))))
-  }
+
+  /** Convenience form over raw text — ONLY for single-expression contexts
+    * (tests, small frames); hot paths project [[lowerWords]] first.
+    */
+  def wordNgrams(c: Column, n: Int): Column = wordNgramsOf(lowerWords(c), n)
 
   /** Train/eval decontamination: corpus documents sharing ANY word n-gram
     * with the benchmark set, with the shared-gram count as evidence — the
@@ -70,9 +81,11 @@ object TextOps {
       hashedCarrier: Boolean = true
   ): DataFrame = {
     def gramSide(df: DataFrame, text: String, extra: Seq[Column]): DataFrame = {
-      val g0 = explode(wordNgrams(col(text), n)).as("g0")
+      val g0 = explode(wordNgramsOf(col("_w"), n)).as("g0")
       val g = (if (hashedCarrier) xxhash64(col("g0")) else col("g0")).as("g")
-      df.select(extra :+ g0: _*).select(extra :+ g: _*)
+      df.select(extra :+ lowerWords(col(text)).as("_w"): _*) // words materialized ONCE per row
+        .select(extra :+ g0: _*)
+        .select(extra :+ g: _*)
     }
     gramSide(corpus, textCol, Seq(col(idCol)))
       .join(gramSide(benchmark, benchTextCol, Seq.empty).distinct(), Seq("g"))
@@ -88,10 +101,11 @@ object TextOps {
     * aggregations on (doc, gram) then (doc) — scales as a word-count job.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val w = col("_w") // materialized once per row (see wordNgramsOf)
     val grams = when(size(w) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
-    df.select(col(idCol), size(w).cast("bigint").as("n_words"),
+    df.select(col(idCol), lowerWords(col(textCol)).as("_w"))
+      .select(col(idCol), size(w).cast("bigint").as("n_words"),
         size(array_distinct(w)).cast("bigint").as("n_distinct_words"),
         explode(grams).as("g"))
       .groupBy(col(idCol), col("g"))

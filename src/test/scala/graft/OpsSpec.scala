@@ -274,6 +274,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("CosineSimExpr ≡ the Column-form cosine, bit for bit (incl. null/zero/mismatch)") {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val synth = (0 until 300).map { i =>
+      val a = Seq.fill(dim)((rnd.nextFloat() - 0.5f) * (if (i % 5 == 0) 1e5f else 1f))
+      val b =
+        if (i % 11 == 0) Seq.fill(dim)(0f) // zero norm → 0.0
+        else if (i % 13 == 0) a.take(dim - 1) // length mismatch → null
+        else Seq.fill(dim)((rnd.nextFloat() - 0.5f))
+      (i.toLong, a, b)
+    }
+    val df = synth.toDF("i", "a", "b")
+    val mismatches = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineColumns(col("a"), col("b")).as("ref")
+    ).filter(!(col("fast") <=> col("ref"))).count()
+    assert(mismatches == 0, s"$mismatches cosine mismatches vs Column form")
+  }
+
   test("connected components over pairs ≡ driver-side union-find (incl. chains)") {
     // Chains (not cliques) force multiple propagation rounds: diameter of
     // the 0-1-2-...-9 path is 9.
