@@ -70,11 +70,14 @@ object Bench {
     val effRows = rows * repeat
     val dataDir = s"/tmp/graft_bench/images_n$rows"
 
-    // ---- one-time input generation (pooled content => bounded encode cost;
-    // skipped entirely in sweep-only mode, which never runs the validate job)
+    // SPARK_GRAFT_SWEEP_ONLY=1: refresh ONLY the per-query map; gate fields
+    // carry over from the existing artifact (required — fails fast below if
+    // absent) and the validate job never runs, so its input is not generated.
+    val sweepOnly = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1")
+
+    // ---- one-time input generation (pooled content => bounded encode cost)
     val gen = session(cpus)
-    if (!sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1") &&
-      !new java.io.File(dataDir + "/_SUCCESS").exists()) {
+    if (!sweepOnly && !new java.io.File(dataDir + "/_SUCCESS").exists()) {
       SyntheticImages
         .images(gen, rows, math.max(cpus * 2, 64), drift = false, contentPool = 4096)
         .toDF()
@@ -122,10 +125,6 @@ object Bench {
     // `shared_*` keys: its sublinearity is the single shared memory
     // controller, not a serial fraction in the plan (pure-CPU work scales
     // 4.0x at 8→32 on this VM).
-    // SPARK_GRAFT_SWEEP_ONLY=1: skip the (expensive) gate levels and carry
-    // the existing artifact's gate fields forward — for refreshing the
-    // per-query map after adding operators without re-measuring scaling.
-    val sweepOnly = sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1")
     val prevGate: Map[String, Double] =
       try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -136,9 +135,14 @@ object Bench {
           .flatMap(k => Option(node.get(k)).map(k -> _.asDouble())).toMap
       } catch { case _: Throwable => Map.empty }
     def gateOr(secKey: String, thrKey: String)(body: => (Double, Double)): (Double, Double) =
-      if (sweepOnly && prevGate.contains(secKey) && prevGate.contains(thrKey))
+      if (!sweepOnly) body
+      else if (prevGate.contains(secKey) && prevGate.contains(thrKey))
         (prevGate(secKey), prevGate(thrKey))
-      else body
+      else
+        // fail fast: the validate input was (deliberately) never generated,
+        // so falling through to measure() would read a missing path
+        throw new IllegalStateException(
+          s"SWEEP_ONLY requires an existing BENCH_SELF.json with $secKey/$thrKey — run a full Bench first")
 
     val gateLow = 2
     val gateHigh = math.min(8, cpus)

@@ -589,7 +589,7 @@ object Queries {
       base.filter(col("vec_id") < 30).select((col("vec_id") + 2000000).as("vec_id"), col("embedding"), col("label"))
     )
     Dedup
-      .semanticPairs(embs, "vec_id", "embedding", numClusters = 16, threshold = 0.92)
+      .semanticPairs(embs, "vec_id", "embedding", threshold = 0.92)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 3).as("cosine_3dp"))
       .orderBy("id_a", "id_b")
   }
@@ -909,7 +909,9 @@ object Queries {
               FROM documents WHERE text IS NOT NULL)
          SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(
+                      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
                 md5(regexp_replace(
                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS redacted_md5

@@ -224,11 +224,12 @@ object Dedup {
   /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
     * exact cosine verification ≥ threshold.
     */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** The shared tail of every embedding-pair kernel: cap hot buckets, join
+    * within buckets, verify exact cosine. Input: (id, v, bucket).
+    */
+  private def cosineVerifiedPairs(withBucket: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val sigs = capBuckets(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      withBucket.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       Seq("bucket"), maxBucket)
     sigs
       .as("a")
@@ -236,6 +237,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double = 0.95, nbits: Int = 12, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    cosineVerifiedPairs(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits)),
+      threshold, maxBucket)
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space (reusing the
@@ -245,27 +252,29 @@ object Dedup {
     * regions get fine candidacy while empty space costs nothing. The trade
     * (as in the paper): near-dup pairs straddling a cluster boundary are
     * missed — identical vectors never are (same nearest centroid by
-    * definition), and `capBuckets` bounds any degenerate cluster so the
-    * candidate mass is Σ|cluster|² with |cluster| capped, never O(n²).
+    * definition).
+    *
+    * The cluster COUNT scales with the data — k = ⌈n / targetClusterSize⌉
+    * — so clusters stay pair-join-sized at any input size (a fixed k would
+    * run every cluster into the `capBuckets` safety valve as data grows,
+    * silently dropping candidates); candidate mass stays
+    * ≈ n × targetClusterSize, never O(n²).
     */
   def semanticPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      numClusters: Int,
       threshold: Double = 0.95,
+      targetClusterSize: Int = 128,
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
-    val ivf = Similarity.IvfIndex.fit(df, idCol, vecCol, numClusters)
-    val sigs = capBuckets(
-      ivf.assigned
-        .select(col("data_id").as("id"), col("_dv").as("v"), col("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      Seq("bucket"), maxBucket)
-    sigs
-      .as("a")
-      .join(sigs.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    require(targetClusterSize > 0 && targetClusterSize <= maxBucket,
+      s"targetClusterSize must be in (0, maxBucket=$maxBucket]")
+    val n = df.count() // one metadata-cheap pass; the fit below scans anyway
+    val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val ivf = Similarity.IvfIndex.fit(df, idCol, vecCol, k)
+    cosineVerifiedPairs(
+      ivf.assigned.select(col("data_id").as("id"), col("_dv").as("v"), col("bucket")),
+      threshold, maxBucket)
   }
 }

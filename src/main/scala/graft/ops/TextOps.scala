@@ -104,10 +104,15 @@ object TextOps {
     val w = col("_w") // materialized once per row (see wordNgramsOf)
     val grams = when(size(w) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+    // counts are computed in their OWN projection before the explode:
+    // non-generator expressions sharing a select with explode land in the
+    // Project ABOVE Generate and re-evaluate per exploded row (the same
+    // per-element trap wordNgramsOf documents, via the plan instead of a
+    // lambda)
     df.select(col(idCol), lowerWords(col(textCol)).as("_w"))
-      .select(col(idCol), size(w).cast("bigint").as("n_words"),
-        size(array_distinct(w)).cast("bigint").as("n_distinct_words"),
-        explode(grams).as("g"))
+      .select(col(idCol), w, size(w).cast("bigint").as("n_words"),
+        size(array_distinct(w)).cast("bigint").as("n_distinct_words"))
+      .select(col(idCol), col("n_words"), col("n_distinct_words"), explode(grams).as("g"))
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"),
         first(col("n_distinct_words")).as("n_distinct_words"))
@@ -130,18 +135,24 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** PII scrub: redact emails and IPv4s, count what was redacted — the
-    * pipeline-side privacy pass every published web corpus applies before
-    * training. Returns (idCol, n_emails, n_ips, redacted).
+  /** PII scrub: redact emails then IPv4s, counting each pattern on the
+    * text it is actually applied to (IPs are counted AFTER email removal,
+    * so the counts always agree with the [IP]/[EMAIL] tokens in `redacted`
+    * even when patterns overlap — e.g. an IP-shaped local part inside an
+    * email is one email, zero IPs). The pipeline-side privacy pass every
+    * published web corpus applies before training.
+    * Returns (idCol, n_emails, n_ips, redacted).
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
-    df.select(
-      col(idCol),
-      size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
-      size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
-      regexp_replace(regexp_replace(c, EmailRe, "[EMAIL]"), Ipv4Re, "[IP]").as("redacted")
-    )
+    df.select(col(idCol), c,
+        regexp_replace(c, EmailRe, "[EMAIL]").as("_deEmailed"))
+      .select(
+        col(idCol),
+        size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("_deEmailed"), lit(Ipv4Re), lit(0))).cast("bigint").as("n_ips"),
+        regexp_replace(col("_deEmailed"), Ipv4Re, "[IP]").as("redacted")
+      )
   }
 
   /** 64-bit-hashed k-shingles (distinct) — the LSH-path representation.

@@ -182,13 +182,15 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "write to alice.smith+x@corp.example.org or 192.168.1.12 today"),
       (2L, "no pii here, just 1.2 version numbers and an @ sign"),
-      (3L, "two mails a@b.io c@d.net one ip 10.0.0.1")
+      (3L, "two mails a@b.io c@d.net one ip 10.0.0.1"),
+      (4L, "mail 1.2.3.4@host.example.com end") // IP-shaped local part: ONE email, zero IPs
     ).toDF("doc_id", "text")
     val got = TextOps.redactPii(df, "doc_id", "text")
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(got(0) == ((1L, 1L, 1L, "write to [EMAIL] or [IP] today")))
     assert(got(1)._2 == 0L && got(1)._3 == 0L && got(1)._4.contains("@ sign"))
     assert(got(2) == ((3L, 2L, 1L, "two mails [EMAIL] [EMAIL] one ip [IP]")))
+    assert(got(3) == ((4L, 1L, 0L, "mail [EMAIL] end")), "counts must match what was redacted")
   }
 
   test("repetition signals: hand-computed Gopher counts") {
@@ -239,7 +241,7 @@ class OpsSpec extends SparkSpec {
       StructType(Seq(StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)))))
     val pairs = Dedup.semanticPairs(
       embs.unionByName(dup).unionByName(nearRow, allowMissingColumns = true),
-      "vec_id", "embedding", numClusters = 8, threshold = 0.99)
+      "vec_id", "embedding", threshold = 0.99, targetClusterSize = 256)
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.contains((0L, 100000L)), s"planted exact dup not found: $found")
     assert(found.contains((1L, 200000L)), s"perturbed near-dup not found: $found")
