@@ -202,12 +202,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nc"))
+      // The moved-count rides the checkpoint's own materialization job as an
+      // Observation — ONE job per round, not a checkpoint plus a second
+      // count scan over the checkpointed data (round-3 advisory).
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
           (col("nc") < col("component")).as("_moved"))
+        .observe(obs, sum(when(col("_moved"), 1L).otherwise(0L)).as("moved"))
         .localCheckpoint()
-      moved = next.filter(col("_moved")).count()
+      moved = Option(obs.get.getOrElse("moved", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.drop("_moved")
       iter += 1
     }
@@ -245,20 +250,25 @@ object Dedup {
       threshold, maxBucket)
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
-    * arXiv:2303.09540): k-means-cluster the embedding space (reusing the
-    * IVF coarse quantizer, fit once) and verify exact cosine WITHIN each
-    * cluster only. Data-adaptive candidacy vs [[embeddingPairs]]' random
-    * hyperplanes: clusters follow the data's density, so semantically tight
-    * regions get fine candidacy while empty space costs nothing. The trade
-    * (as in the paper): near-dup pairs straddling a cluster boundary are
-    * missed — identical vectors never are (same nearest centroid by
-    * definition).
+    * arXiv:2303.09540): cluster the embedding space with a data-adaptive
+    * quantizer and verify exact cosine WITHIN each cluster only.
+    * Data-adaptive candidacy vs [[embeddingPairs]]' random hyperplanes:
+    * cluster seeds are sampled FROM the data, so dense regions get
+    * proportionally fine candidacy while empty space costs nothing. The
+    * trade (as in the paper): near-dup pairs straddling a cluster boundary
+    * are missed — identical vectors never are (deterministic assignment:
+    * identical inputs always resolve to the identical seed).
     *
-    * The cluster COUNT scales with the data — k = ⌈n / targetClusterSize⌉
-    * — so clusters stay pair-join-sized at any input size (a fixed k would
-    * run every cluster into the `capBuckets` safety valve as data grows,
-    * silently dropping candidates); candidate mass stays
-    * ≈ n × targetClusterSize, never O(n²).
+    * Scale design (round-3 advisory): the previous single-level k-means fit
+    * scaled its k as n/targetClusterSize — right for candidate mass, but
+    * Lloyd assignment is O(n·k·d) per iteration = O(n²·d) at extreme n. The
+    * [[adaptiveBuckets]] quantizer replaces it with a bounded-seed recursive
+    * split: every round costs O(rows·seeds·d) with seeds ≤ coarseSeeds, so
+    * total fit cost is LINEAR in n (× a handful of geometric rounds), while
+    * cluster count still tracks n (each round splits only still-oversized
+    * cells, one seed per ~targetClusterSize rows). No row count of the
+    * input is needed at all — the n-driven k (and its extra full scan) is
+    * gone. The cap + exact-cosine verify stage is unchanged.
     */
   def semanticPairs(
       df: DataFrame,
@@ -266,15 +276,100 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       targetClusterSize: Int = 128,
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      coarseSeeds: Int = 1024,
+      maxRounds: Int = 6
   ): DataFrame = {
     require(targetClusterSize > 0 && targetClusterSize <= maxBucket,
       s"targetClusterSize must be in (0, maxBucket=$maxBucket]")
-    val n = df.count() // one metadata-cheap pass; the fit below scans anyway
-    val k = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize).toInt
-    val ivf = Similarity.IvfIndex.fit(df, idCol, vecCol, k)
     cosineVerifiedPairs(
-      ivf.assigned.select(col("data_id").as("id"), col("_dv").as("v"), col("bucket")),
+      adaptiveBuckets(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        targetClusterSize, maxBucket, coarseSeeds, maxRounds),
       threshold, maxBucket)
+  }
+
+  /** Recursive density-adaptive Voronoi quantizer: assign every (id, v) row
+    * a cluster `bucket` such that clusters track the data's density and
+    * (almost all) end up ≤ maxBucket rows, at LINEAR cost in n.
+    *
+    * Round 1 (the coarse level): sample ~1/targetClusterSize of the rows as
+    * seeds (uniform sampling of data points IS density-adaptive seeding —
+    * dense regions contribute proportionally more seeds), cap at
+    * `coarseSeeds` by smallest hash (deterministic), broadcast the one-row
+    * seed array to every row, and assign each row to its max-cosine seed
+    * via the codegen'd [[graft.functions.NearestSeedExpr]] — one pass,
+    * O(n·coarseSeeds·d), no shuffle of the corpus.
+    *
+    * Rounds 2+: only cells still > maxBucket re-split. Per oversized cell,
+    * re-sample ~1/targetClusterSize of ITS rows as sub-seeds (capped at
+    * `maxSeedsPerCell`), aggregate them per cell (one hash-agg — sizes and
+    * seeds in the same pass), join back on the cell key, re-assign. Cell
+    * sizes shrink geometrically (≈ ×1/seeds per round), so a handful of
+    * rounds suffices at any n; each round materializes only the still-
+    * oversized remainder (shared-FS spill, same rationale as
+    * [[materializeSigs]]). The sub-seed join is left unhinted: by round 2
+    * bucket cardinality is ≥ the seed count, so AQE picks broadcast while
+    * the seed table is small and a by-bucket shuffle join otherwise.
+    *
+    * Termination: cells a round cannot split (zero sampled seeds — retried
+    * next round under a fresh salt — or >maxBucket EXACT duplicates of one
+    * vector, which no geometric quantizer can separate) flow out after
+    * maxRounds and hit the observable `capBuckets` valve downstream, same
+    * as under the previous k-means fit (identical vectors share a centroid
+    * there too).
+    *
+    * Determinism: seed choice is keyed on xxhash64(id, round), assignment is
+    * a pure function of (v, sorted seed array), and new bucket ids are
+    * xxhash64(parent bucket, chosen seed hash) — identical vectors co-bucket
+    * at every level regardless of partitioning.
+    */
+  private[graft] def adaptiveBuckets(
+      base: DataFrame, // (id, v)
+      targetClusterSize: Int,
+      maxBucket: Int,
+      coarseSeeds: Int = 1024,
+      maxRounds: Int = 6,
+      maxSeedsPerCell: Int = 256
+  ): DataFrame = {
+    val t = lit(targetClusterSize.toLong)
+    // Round 1: global seed sample, capped deterministically by smallest hash.
+    val s1 = base.select(xxhash64(col("id"), lit(1L)).as("hk"), col("v").as("sv"))
+      .filter(pmod(col("hk"), t) === 0)
+      .orderBy("hk").limit(coarseSeeds)
+    val arr1 = s1.agg(sort_array(collect_list(struct(col("hk"), col("sv")))).as("_seeds"))
+    var current = materializeSigs(
+      base.crossJoin(broadcast(arr1))
+        .select(col("id"), col("v"),
+          // empty seed sample (n ≲ targetClusterSize) → everything in cell 0
+          coalesce(xxhash64(lit(1L), graft.functions.NearestSeedExpr(col("v"), col("_seeds"))), lit(0L))
+            .as("bucket")),
+      "semdedup-1")
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 2
+    var exhausted = false
+    while (!exhausted && round <= maxRounds) {
+      val over = current.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > maxBucket).select("bucket")
+      if (over.isEmpty) exhausted = true
+      else {
+        doneParts += current.join(broadcast(over), Seq("bucket"), "left_anti")
+        val todo = current.join(broadcast(over), Seq("bucket"), "left_semi")
+        val cellSeeds = todo
+          .select(col("bucket"), xxhash64(col("id"), lit(round.toLong)).as("hk"), col("v").as("sv"))
+          .filter(pmod(col("hk"), t) === 0)
+          .groupBy("bucket")
+          .agg(slice(sort_array(collect_list(struct(col("hk"), col("sv")))), 1, maxSeedsPerCell).as("_seeds"))
+        current = materializeSigs(
+          todo.join(cellSeeds, Seq("bucket"), "left")
+            .select(col("id"), col("v"),
+              // no usable seeds this round → keep the cell, retry under the
+              // next round's salt (or flow to the cap valve after maxRounds)
+              coalesce(xxhash64(col("bucket"), graft.functions.NearestSeedExpr(col("v"), col("_seeds"))), col("bucket"))
+                .as("bucket")),
+          s"semdedup-$round")
+        round += 1
+      }
+    }
+    doneParts.foldLeft(current)(_ unionByName _)
   }
 }

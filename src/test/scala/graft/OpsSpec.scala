@@ -249,6 +249,31 @@ class OpsSpec extends SparkSpec {
     assert(found.size == 2, s"false positives: $found")
   }
 
+  test("adaptiveBuckets: oversized coarse cells split recursively to ≤ maxBucket; identical vectors co-bucket") {
+    val rnd = new scala.util.Random(17)
+    val data = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val dups = data.take(5).map { case (i, v) => (i + 10000L, v) }
+    val df = (data ++ dups).toDF("id", "v")
+    // coarseSeeds=2 forces round 1 to produce two ~1000-row cells (> maxBucket),
+    // so the recursive rounds MUST fire to get every cell under the cap.
+    val bucketed = Dedup.adaptiveBuckets(df, targetClusterSize = 128, maxBucket = 500, coarseSeeds = 2).cache()
+    assert(bucketed.count() == 2005) // the quantizer itself never drops rows
+    val sizes = bucketed.groupBy("bucket").count().as[(Long, Long)].collect()
+    assert(sizes.length > 2, s"recursive split did not fire: ${sizes.length} cells")
+    assert(sizes.forall(_._2 <= 500), s"oversized cells survived: ${sizes.filter(_._2 > 500).toSeq}")
+    val byId = bucketed.select("id", "bucket").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach(i => assert(byId(i.toLong) == byId(i + 10000L), s"dup $i split across buckets"))
+  }
+
+  test("adaptiveBuckets: a cell of >maxBucket EXACT duplicates is unsplittable and flows to the cap valve") {
+    val mono = (0 until 600).map(i => (i.toLong, Seq.fill(16)(0.5f))).toDF("id", "v")
+    val bucketed = Dedup.adaptiveBuckets(mono, targetClusterSize = 128, maxBucket = 500, coarseSeeds = 8).cache()
+    assert(bucketed.count() == 600)
+    // identical vectors always co-assign, so the cell can never split — it
+    // must come back intact (downstream capBuckets drops it OBSERVABLY)
+    assert(bucketed.select("bucket").distinct().count() == 1)
+  }
+
   test("embedding near-dup pairs: planted duplicate found via LSH buckets") {
     val dup = embs.filter(col("vec_id") === 0).select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     val pairs = Dedup.embeddingPairs(embs.unionByName(dup), "vec_id", "embedding", dim = 64, threshold = 0.999, nbits = 12)
