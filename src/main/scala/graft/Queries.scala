@@ -505,9 +505,21 @@ object Queries {
       .simhashPairs(pairCorpus(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Char-3-gram Jaccard pairs. Oracle-backed (round-4): DuckDB computes
+    * the EXHAUSTIVE distinct-3-gram Jaccard over the same corpus — hashed
+    * shingles are id-set-identical to string shingles (64-bit xxhash64,
+    * no collisions at oracle scale). Deterministic LSH recall needs margin
+    * over the banding curve: at 64 hashes / 32 bands (2 rows per band) the
+    * miss probability per true pair is (1-j²)^32 ≤ 6.3e-7 at j ≥ 0.6,
+    * while this synthetic corpus' pair mass piles up at j ≈ 0.5 exactly
+    * (41k pairs in [0.5, 0.6) at sf0.1 — a 0.5 threshold WOULD miss some
+    * through any realistic banding). Threshold 0.6 puts the cut where the
+    * LSH-vs-exhaustive compare is deterministic at every tested scale;
+    * the operator itself takes any threshold.
+    */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .ngramJaccardPairs(pairCorpus(s, dir), "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      .minhashPairs(pairCorpus(s, dir), "doc_id", "text", shingleK = 3, numHashes = 64, numBands = 32, threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard_3dp"))
       .orderBy("id_a", "id_b")
 
@@ -552,6 +564,23 @@ object Queries {
       .topK(queries, "vec_id", "embedding", k = 10, nprobe = 4)
       .select("query_id", "rank", "data_id")
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF probed at nprobe = numCentroids ≡ exact brute force (every bucket
+    * is a candidate), which gives the IVF path a REAL oracle — the same
+    * exhaustive top-k SQL as q25 — exercising fit + bucket assignment +
+    * probe join + rank end-to-end. The recall@10 test (OpsSpec) keeps
+    * covering the approximate nprobe < numCentroids regime; membership-only
+    * projection for the same FP-tie reason as q25.
+    */
+  def qAnnIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") < 5)
+    val ivf = Similarity.IvfIndex.fit(embs.filter(col("vec_id") >= 5), "vec_id", "embedding", numCentroids = 16)
+    ivf
+      .topK(queries, "vec_id", "embedding", k = 10, nprobe = 16)
+      .select("query_id", "data_id")
+      .orderBy("query_id", "data_id")
   }
 
   /** Embedding near-dup via RP-LSH buckets + cosine verify. Oracle-backed:
@@ -697,7 +726,9 @@ object Queries {
     "q33_quality" -> (q33Quality _),
     "q34_heavy_hitters" -> (q34HeavyHitters _),
     "q35_phash_near_dup" -> (qPhashNearDup _),
-    "q36_dedup_components" -> (q36DedupComponents _)
+    "q36_dedup_components" -> (q36DedupComponents _),
+    "q22_ngram_jaccard" -> (qNgramJaccard _),
+    "q41_ann_ivf_exact" -> (qAnnIvfExact _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -711,7 +742,6 @@ object Queries {
     "img_maintenance" -> ((s, _) => imgMaintenance(s)),
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
-    "q22_ngram_jaccard" -> (qNgramJaccard _),
     "q26_ann_ivf" -> (qAnnIvf _)
   )
 
@@ -993,6 +1023,35 @@ object Queries {
       """SELECT doc_id AS id,
                 min(doc_id) OVER (PARTITION BY doc_id // 4) AS component
          FROM documents
-         QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1"""
+         QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1""",
+    "q22_ngram_jaccard" ->
+      // Exhaustive distinct-char-3-gram Jaccard twin of the LSH path
+      // (candidate recall is deterministic at threshold 0.6 — see
+      // qNgramJaccard). substring() is char-addressed like the engine's
+      // UTF-8 boundary walk; DISTINCT mirrors hashedShinglesSorted's dedup.
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                         UNION ALL
+                         SELECT doc_id + 1000000 AS doc_id, text || ' xq' AS text
+                         FROM documents WHERE doc_id < 20),
+         g AS (SELECT DISTINCT doc_id, substring(text, gs, 3) AS g
+               FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS gs) s),
+         n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM g a JOIN g b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jac
+               FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b)
+         SELECT id_a, id_b, round(jac, 3) AS jaccard_3dp FROM j WHERE jac >= 0.6 ORDER BY 1, 2""",
+    "q41_ann_ivf_exact" ->
+      // nprobe = numCentroids degenerates IVF to brute force: the oracle is
+      // q25's exhaustive top-k, re-used verbatim.
+      """WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.query_id, d.vec_id AS data_id,
+                      list_cosine_similarity(d.embedding, q.qv) AS cos
+               FROM d, q),
+         r AS (SELECT query_id, data_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, data_id) AS rk
+               FROM s)
+         SELECT query_id, data_id FROM r WHERE rk <= 10 ORDER BY 1, 2"""
   )
 }
