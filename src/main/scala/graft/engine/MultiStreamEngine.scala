@@ -45,6 +45,13 @@ final case class ConstraintRegistry(
 
   /** Ordered regex routes: explicit ones first, then slash-wrapped `routes`
     * keys (sorted for determinism — Map iteration order is unspecified).
+    *
+    * DELIBERATE ordering divergence from the reference: stream-config tests
+    * regex routes in DECLARATION order, which a Scala `Map` cannot carry —
+    * slash-wrapped `routes` keys are therefore ordered lexicographically.
+    * A config whose regexes overlap (first-match-sensitive) must pass them
+    * through `regexRoutes`, which IS declaration-ordered end-to-end and
+    * always consulted before the map-sourced keys.
     */
   val allRegexRoutes: Seq[(String, String)] =
     regexRoutes ++ routes.collect { case (k, v) if isRegexKey(k) => (k.substring(1, k.length - 1), v) }.toSeq.sorted
@@ -105,8 +112,21 @@ final class MultiStreamEngine(
     registry: ConstraintRegistry,
     opts: EngineOptions = EngineOptions(),
     streamCol: String = "stream",
-    schemaUriCol: Option[String] = None
+    schemaUriCol: Option[String] = None,
+    schemaUriCols: Seq[String] = Nil
 ) extends Serializable {
+
+  /** The reference's `schema_uri_field` is a string OR an ARRAY of field
+    * names — the first field present on the event wins
+    * (/root/reference/lib/factories/default-eventgate.js:105-108, tested at
+    * test/features/lib/factories/default-eventgate.js:18-51). Columnar
+    * translation: fields absent from the frame's schema are skipped
+    * entirely; among present fields, per-row "exists" = non-null, so the
+    * chain is one `coalesce` (the O4 primitive, now wired into dispatch).
+    * All candidates missing/null ⇒ null URI ⇒ unroutable ⇒ the
+    * schema-load-error status, as when a configured single field is null.
+    */
+  private val uriFields: Seq[String] = schemaUriCol.toSeq ++ schemaUriCols
 
   def process(rawInput: DataFrame): ValidationResult = {
     registry.sets.foreach { cs =>
@@ -119,17 +139,19 @@ final class MultiStreamEngine(
     // /root/reference/lib/factories/default-eventgate.js:132-152). The
     // resolved value OVERWRITES streamCol so routing, rollups, and
     // per-stream output all see the event's true destination.
-    val input = schemaUriCol match {
-      case Some(u) =>
-        rawInput.withColumn(
-          streamCol,
-          ConstraintRegistry.extractStream(
-            if (rawInput.columns.contains(streamCol)) Some(col(streamCol)) else None,
-            col(u)
-          )
+    val input = if (uriFields.nonEmpty) {
+      val present = uriFields.filter(rawInput.columns.contains)
+      val uri =
+        if (present.isEmpty) lit(null).cast("string")
+        else coalesce(present.map(col): _*)
+      rawInput.withColumn(
+        streamCol,
+        ConstraintRegistry.extractStream(
+          if (rawInput.columns.contains(streamCol)) Some(col(streamCol)) else None,
+          uri
         )
-      case None => rawInput
-    }
+      )
+    } else rawInput
 
     val inputCols = input.columns.toSeq
     val stream = col(streamCol)

@@ -70,23 +70,55 @@ final class SnapshotFollower(
     finally out.close()
     f.delete(cursorPath, false)
     if (!f.rename(cursorTmp, cursorPath))
-      throw new IllegalStateException(s"cursor update for $table lost a rename race")
+      // The tmp is fully written and `cursor` reads it as the fallback, so
+      // the advance to `seq` is NOT lost and the next poll does not replay
+      // (round-3 advisory asked for diagnostics here; deleting the tmp —
+      // its other suggestion — would drop the only record of the advance,
+      // since the durable file was already removed, forcing a full-history
+      // replay on a persistently failing rename).
+      throw new IllegalStateException(
+        s"cursor update for $table failed renaming $cursorTmp -> $cursorPath; " +
+          s"the advance to $seq survives in the tmp file and resolves as the cursor")
   }
 
-  /** Process everything committed since the cursor. Returns the SEQUENCE
-    * DISTANCE advanced (0 = already caught up; the callback is not
-    * invoked) — rollback-abandoned sequences inside the range count toward
-    * the distance but contribute no rows. The callback receives the delta
-    * frame and the processed range `(fromSeq, toSeq]`.
+  /** Process commits since the cursor, at most `maxCommits` LINEAGE STEPS
+    * per call (Iceberg bounds commits-per-incremental-scan the same way): a
+    * consumer that was down for a week drains its backlog in bounded,
+    * individually-committed slices instead of one giant delta frame — the
+    * cursor advances after EACH call, so a crash mid-catch-up replays only
+    * the current slice, and memory/shuffle pressure per poll is bounded by
+    * the slice's row mass, not the backlog's.
+    *
+    * Returns the SEQUENCE DISTANCE advanced (0 = already caught up; the
+    * callback is not invoked) — rollback-abandoned sequences inside the
+    * range count toward the distance but contribute no rows. The callback
+    * receives the delta frame and the processed range `(fromSeq, toSeq]`.
+    * Call repeatedly until 0 to fully drain.
     */
-  def poll(spark: SparkSession)(f: (DataFrame, Long, Long) => Unit): Long = {
+  def poll(spark: SparkSession, maxCommits: Int = Int.MaxValue)(f: (DataFrame, Long, Long) => Unit): Long = {
+    require(maxCommits > 0, s"maxCommits must be positive, got $maxCommits")
     val head = log.head.getOrElse(return 0L)
     val from = cursor
     if (head.sequence <= from) return 0L
-    val delta = log.readTableChanges(spark, from, head.sequence, table)
-    f(delta, from, head.sequence)
-    writeCursor(head.sequence)
-    head.sequence - from
+    // Slice target: the commit `maxCommits` parent-lineage steps above the
+    // cursor. Metadata-cached manifest walk; every collected seq is > from,
+    // so a cursor pointing into rolled-back history still reaches
+    // readTableChanges' ancestry check and throws its re-bootstrap error.
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[Long] // newest → oldest
+    var cur = head.sequence
+    var walking = true
+    while (walking) {
+      lineage += cur
+      log.read(cur).parentId.map(_.stripPrefix("snap-").toLong) match {
+        case Some(p) if p > from => cur = p
+        case _                   => walking = false
+      }
+    }
+    val to = if (lineage.length <= maxCommits) head.sequence else lineage(lineage.length - maxCommits)
+    val delta = log.readTableChanges(spark, from, to, table)
+    f(delta, from, to)
+    writeCursor(to)
+    to - from
   }
 
   /** Recover a consumer whose cursor fell behind the retention window (or

@@ -82,6 +82,14 @@ object Maintenance {
       rewriteThresholdBytes: Option[Long] = None
   ): CompactionStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // `valid` is a DERIVED subtree view of `annotated`, re-pointed by every
+    // annotated compaction below. Compacting it directly would register a
+    // standalone valid root under no annotated parent; a later SELECTIVE
+    // annotated compaction would then filter that root out of keptValid and
+    // silently drop surviving roots' success rows from the valid view
+    // (round-3 advisory). Compact `annotated` — valid rides along.
+    require(table != "valid",
+      "compact: 'valid' is a derived view of 'annotated' — compact 'annotated' and the valid subtree is re-pointed in the same commit")
     val head = log.head.getOrElse(throw new IllegalStateException("compact: empty snapshot log"))
     val allPaths = log.tablePaths(head, table)
     require(allPaths.nonEmpty, s"compact: table $table has no data in ${head.snapshotId}")

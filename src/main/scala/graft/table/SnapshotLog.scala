@@ -167,7 +167,8 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
         partitionsDelta = committedPartitions(m).toSeq.sorted,
         // stored newest-first so tablePaths' chain-order reverse round-trips
         tables = tableNames.map(t => t -> tablePaths(m, t).reverse).toMap,
-        streamBatches = chain(m).flatMap(_.streamBatches.keys).toSet
+        streamBatches = (chain(m).flatMap(_.streamBatches.keys).toSet ++
+          (if (chain(m).exists(isLegacyStreamDelta)) Set("default") else Set.empty[String]))
           .map((k: String) => k -> committedStreamBatches(m, k).toSeq.sorted).toMap,
         tableSchemas = tableNames.flatMap(t => tableSchemaJson(m, t).map(t -> _)).toMap,
         checkpoint = true,
@@ -182,11 +183,33 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   def committedPartitions(m: Manifest): Set[Int] =
     chain(m).flatMap(_.partitionsDelta).toSet
 
+  /** A stream-batch delta commit written by the PRE-ledger format (before
+    * the `streamBatches` manifest field): it recorded the micro-batch id in
+    * `partitionsDelta` with data dirs tagged `p-stream-<batchId>` and no
+    * checkpoint identity. Recognized by that tag shape (new-format stream
+    * tags are `p-stream-<checkpointId>-<batchId>`; batch jobs use other
+    * tags) so resuming a pre-change stream log keeps its exactly-once-
+    * visible guarantee instead of re-committing its history as duplicates
+    * (round-3 advisory). Restricted to non-checkpoint manifests — a
+    * checkpoint squash mixes true source partitions into `partitionsDelta`,
+    * and [[checkpoint]] carries legacy ids forward under the "default"
+    * identity key explicitly.
+    */
+  private def isLegacyStreamDelta(c: Manifest): Boolean =
+    !c.checkpoint && c.partitionsDelta.nonEmpty &&
+      c.tables.values.flatten.exists(_.split('/').exists(_.matches("p-stream-\\d+")))
+
   /** Micro-batch ids already committed under a streaming checkpoint
-    * identity (union of deltas up the chain).
+    * identity (union of deltas up the chain). Legacy pre-ledger stream
+    * commits had a single implicit identity and their gate keyed on batch
+    * id alone — their ids count as committed under EVERY identity, matching
+    * the guarantee they were written under.
     */
   def committedStreamBatches(m: Manifest, checkpointId: String): Set[Long] =
-    chain(m).flatMap(_.streamBatches.getOrElse(checkpointId, Seq.empty)).toSet
+    chain(m).flatMap { c =>
+      c.streamBatches.getOrElse(checkpointId, Seq.empty) ++
+        (if (isLegacyStreamDelta(c)) c.partitionsDelta.map(_.toLong) else Seq.empty)
+    }.toSet
 
   /** Chain prefix relevant to `table`: newest-first, ending at (and
     * including) the first manifest that replaces the table (compaction) —
@@ -238,6 +261,12 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     finally out.close()
     if (!f.rename(tmp, manifestPath(seq)))
       throw new IllegalStateException(s"commit of sequence $seq lost the rename race")
+    // Refresh the process-wide cache under the new key: if this root was
+    // deleted and re-created at the same path within one JVM (tests, fixed
+    // bench dirs), a prior incarnation's manifest could otherwise be served
+    // for this sequence forever (round-3 advisory). `stamped` is exactly
+    // what `read` would reparse — typed Long metrics, no Jackson erasure.
+    SnapshotLog.manifestCache.put(cacheKey(seq), stamped)
     stamped
   }
 

@@ -291,6 +291,90 @@ class MaintenanceSpec extends SparkSpec {
     assert(follower.poll(spark)((_, _, _) => fail("caught up after rebootstrap")) == 0L)
   }
 
+  test("SnapshotFollower.poll(maxCommits): a backlog drains in bounded slices, cursor advancing per slice") {
+    import graft.streaming.SnapshotFollower
+    import graft.streaming.StreamingValidation.{checkpointIdentity, processAndCommit}
+    val log = newLog()
+    val imgs = SyntheticImages.images(spark, 100, 1).toDF()
+    val id = checkpointIdentity(spark, Files.createTempDirectory("graft_bound_ckpt").toString)
+    (0L until 10L).foreach(b => assert(processAndCommit(log, ImageConstraints.v1, imgs, b, id).isDefined))
+    assert(log.head.get.sequence == 10L)
+
+    val follower = new SnapshotFollower(log, "annotated",
+      Files.createTempDirectory("graft_follow_bounded").toString, spark.sparkContext.hadoopConfiguration)
+    var slices = Vector.empty[(Long, Long, Long)] // (rows, from, to)
+    var polls = 0
+    var advanced = 1L
+    while (advanced > 0) {
+      advanced = follower.poll(spark, maxCommits = 4)((df, f, t) => slices :+= ((df.count(), f, t)))
+      if (advanced > 0) polls += 1
+    }
+    // ceil(10/4) = 3 slices, each individually committed to the cursor
+    assert(polls == 3, s"10-commit backlog at k=4 must drain in 3 polls: $slices")
+    assert(slices.map(s => (s._2, s._3)) == Vector((0L, 4L), (4L, 8L), (8L, 10L)))
+    assert(slices.map(_._1) == Vector(400L, 400L, 200L)) // 100 rows per commit
+    assert(follower.cursor == 10L)
+
+    // a crash mid-catch-up replays only the CURRENT slice
+    (10L until 16L).foreach(b => assert(processAndCommit(log, ImageConstraints.v1, imgs, b, id).isDefined))
+    intercept[RuntimeException](follower.poll(spark, maxCommits = 4) { (_, _, _) => throw new RuntimeException("crash") })
+    assert(follower.cursor == 10L)
+    assert(follower.poll(spark, maxCommits = 4)((_, f, t) => assert((f, t) == ((10L, 14L)))) == 4L)
+    assert(follower.cursor == 14L)
+  }
+
+  test("legacy pre-ledger stream commits (batch id in partitionsDelta) still gate replay") {
+    import graft.streaming.StreamingValidation.{checkpointIdentity, processAndCommit}
+    import graft.table.Manifest
+    val log = newLog()
+    val imgs = SyntheticImages.images(spark, 100, 1).toDF()
+    // Fabricate what the pre-ledger format wrote for micro-batch 5: the
+    // batch id in partitionsDelta, data dirs tagged p-stream-<batchId>,
+    // no streamBatches entry.
+    log.commit(Manifest(
+      snapshotId = "", sequence = 0L, parentId = None,
+      constraintVersion = "img/1.0.0", partitionSpec = "legacy",
+      partitionsDelta = Seq(5), complete = false,
+      tables = Map("annotated" -> Seq(log.dataDir("stream-5", "annotated"))),
+      metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = System.currentTimeMillis()
+    ))
+    val id = checkpointIdentity(spark, Files.createTempDirectory("graft_legacy_ckpt").toString)
+    // replaying the legacy batch id is a no-op under ANY identity...
+    assert(processAndCommit(log, ImageConstraints.v1, imgs, 5L, id).isEmpty)
+    // ...while new ids commit normally
+    assert(processAndCommit(log, ImageConstraints.v1, imgs, 6L, id).isDefined)
+    // and the gate survives a checkpoint squash (carried under "default")
+    log.checkpoint(log.head.get)
+    assert(processAndCommit(log, ImageConstraints.v1, imgs, 5L, id).isEmpty)
+    assert(log.committedStreamBatches(log.head.get, id).contains(5L))
+  }
+
+  test("compact('valid') is rejected: valid is a derived view of annotated") {
+    val log = newLog()
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0))
+    val e = intercept[IllegalArgumentException](Maintenance.compact(spark, log, "valid"))
+    assert(e.getMessage.contains("derived view"), e.getMessage)
+  }
+
+  test("manifest cache: a root recreated at the same path serves the NEW incarnation once it commits") {
+    val dir = Files.createTempDirectory("graft_cache_reuse").toString
+    val log = new SnapshotLog(dir, spark.sparkContext.hadoopConfiguration)
+    new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0))
+    assert(log.read(1L).partitionsDelta == Seq(0))
+    // wipe the root WITHOUT expire (the cache is not informed) and rebuild
+    // at the same path — the round-3 advisory's stale-incarnation scenario
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    val log2 = new SnapshotLog(dir, spark.sparkContext.hadoopConfiguration)
+    new ValidationJob(spark, log2, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(1))
+    // commit() refreshed the process-wide cache: sequence 1 now resolves to
+    // the new incarnation's manifest, not the deleted one's
+    assert(log2.read(1L).partitionsDelta == Seq(1))
+    assert(log2.readTable(spark, log2.head.get, "annotated").count() == N / P)
+  }
+
   test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
     val log = newLog()
     new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))

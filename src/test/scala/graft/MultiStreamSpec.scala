@@ -251,6 +251,36 @@ class MultiStreamSpec extends SparkSpec {
     assert(byId("c")._2 == Status.Error) // sanitized but unregistered
   }
 
+  test("schema-URI ARRAY form: first existing field wins; all-missing is a schema-load error (default-eventgate.js:105-108)") {
+    // The reference's schema_uri_field accepts an array of field paths and
+    // takes the first that exists on the event (tested at
+    // test/features/lib/factories/default-eventgate.js:18-51). Columnar:
+    // absent-from-schema fields are skipped, per-row existence = non-null.
+    val reg = ConstraintRegistry(
+      Seq(laxSet),
+      routes = Map("primary_uri" -> "doc/1.0.0", "fallback_uri" -> "doc/1.0.0")
+    )
+    val df = Seq(
+      ("a", "some text", "src", "/primary!uri", "/fallback!uri"), // both → first wins
+      ("b", "some text", "src", null, "/fallback!uri"), // first null → second wins
+      ("c", "some text", "src", null, null) // all null → unroutable → error
+    ).toDF("doc_id", "text", "source", "meta_uri", "legacy_uri")
+    val res = new MultiStreamEngine(
+      reg,
+      EngineOptions(snapshotId = "uri_arr", idField = "doc_id"),
+      // "ghost_uri" is not a column of this frame — the reference skips
+      // non-existent configured fields; the engine must too.
+      schemaUriCols = Seq("ghost_uri", "meta_uri", "legacy_uri")
+    ).process(df)
+    val byId = res.annotated.select("doc_id", "stream", "status").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(byId("a") == ("primary_uri", Status.Success))
+    assert(byId("b") == ("fallback_uri", Status.Success))
+    assert(byId("c")._2 == Status.Error)
+    val detail = res.violations.filter(col("row_id") === "c").select("detail").collect()(0).getString(0)
+    assert(detail.contains("EventSchemaLoadError"), detail)
+  }
+
   test("readValid on an all-failing chain is an empty frame, not an error") {
     import graft.table.{MultiStreamValidationJob, SnapshotLog}
     val log = new SnapshotLog(
