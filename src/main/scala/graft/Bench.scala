@@ -188,32 +188,73 @@ object Bench {
         graft.gen.ScaledData.materialize(s, sfDir, scaledDir, replicas = 10)
         sweep(scaledDir)
       }
+    // Opt-in 100×-pair-mass LSH stress (SPARK_GRAFT_LSH100=1): the banded
+    // dedup family over a 100× documents scale-up, reporting each query's
+    // observed `lsh_dropped_rows` (the capBuckets safety valve) — proves the
+    // caps and full-entropy band keys hold two orders past the base scale,
+    // with drop counts measured rather than asserted. Single-shot timings:
+    // these are minutes-long stress runs, not gate readings.
+    val lshDrops = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val lsh100Results =
+      if (!sys.env.get("SPARK_GRAFT_LSH100").contains("1")) Seq.empty
+      else {
+        val dir = s"/tmp/graft_bench/lsh100_$sfName"
+        graft.gen.ScaledData.materializeDocuments(s, sfDir, dir, replicas = 100)
+        val lastObserved = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            qe.observedMetrics.get("lsh_buckets").foreach { r =>
+              lastObserved.set(if (r.isNullAt(0)) 0L else r.getLong(0))
+            }
+          override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+        }
+        s.listenerManager.register(listener)
+        val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
+          "q35_phash_near_dup", "q36_dedup_components").map { name =>
+          lastObserved.set(-1L)
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(s, dir).count() }
+          catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // the listener bus is async; wait briefly for the metric to land
+          var waited = 0
+          while (lastObserved.get() < 0 && waited < 50) { Thread.sleep(100); waited += 1 }
+          lshDrops(name) = lastObserved.get()
+          name -> dt
+        }
+        s.listenerManager.unregister(listener)
+        res
+      }
     s.stop()
 
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = fmt(results)
-    // A run without the opt-in sweep preserves a previous run's sf1 map in
+    // A run without an opt-in sweep preserves that sweep's previous map in
     // the file artifact (expensive to produce; a default invocation should
     // not silently discard it).
-    val carriedSf1: String =
-      if (sf1Results.nonEmpty) ""
-      else
-        try {
-          val prev = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")), "UTF-8")
-          val i = prev.indexOf("\"queries_sf1\":")
-          if (i < 0) ""
-          else {
-            val start = prev.indexOf('{', i)
-            val end = prev.indexOf('}', start)
-            if (start < 0 || end < 0) "" else s""""queries_sf1":${prev.substring(start, end + 1)},"""
-          }
-        } catch { case _: Throwable => "" }
-    val sf1Field = if (sf1Results.isEmpty) carriedSf1 else s""""queries_sf1":${fmt(sf1Results)},"""
+    def carried(field: String): String =
+      try {
+        val prev = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/BENCH_SELF.json")), "UTF-8")
+        val i = prev.indexOf("\"" + field + "\":")
+        if (i < 0) ""
+        else {
+          val start = prev.indexOf('{', i)
+          val end = prev.indexOf('}', start)
+          if (start < 0 || end < 0) "" else s""""$field":${prev.substring(start, end + 1)},"""
+        }
+      } catch { case _: Throwable => "" }
+    val sf1Field = if (sf1Results.isEmpty) carried("queries_sf1") else s""""queries_sf1":${fmt(sf1Results)},"""
+    val lshField =
+      if (lsh100Results.isEmpty) carried("queries_lsh100") + carried("lsh100_dropped_rows")
+      else {
+        val drops = lshDrops.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""""queries_lsh100":${fmt(lsh100Results)},"lsh100_dropped_rows":$drops,"""
+      }
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s"sf":"$sfName%s",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s$lshField%s"sf":"$sfName%s",""" +
         f""""validate_sf":$validateSf%s,"validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
         f""""validate_sec_low":$secGateLow%.3f,"validate_sec_high":$secGateHigh%.3f,""" +
         f""""validate_rows_per_sec_low":$thrGateLow%.0f,"validate_rows_per_sec_high":$thrGateHigh%.0f,""" +

@@ -53,36 +53,7 @@ object ScaledData {
     write(replicate(src("events"), Seq("event_id"), eventOff), "events")
 
     // documents: replica 0 verbatim; r>0 word-resampled per (doc_id, r)
-    val docs = src("documents")
-    val docOff = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
-    val resample = udf { (text: String, docId: Long, r: Int) =>
-      if (r == 0 || text == null) text
-      else {
-        val words = text.split("\\s+").filter(_.nonEmpty)
-        if (words.isEmpty) text
-        else {
-          var s = docId * 6364136223846793005L + r * 1442695040888963407L
-          val out = new Array[String](words.length)
-          var i = 0
-          while (i < words.length) {
-            s = s * 6364136223846793005L + 1442695040888963407L
-            out(i) = words(((s >>> 33) % words.length).toInt)
-            i += 1
-          }
-          out.mkString(" ")
-        }
-      }
-    }
-    write(
-      (0 until replicas)
-        .map(r =>
-          docs
-            .withColumn("text", resample(col("text"), col("doc_id"), lit(r)))
-            .withColumn("doc_id", col("doc_id") + lit(r * docOff))
-        )
-        .reduce(_ unionByName _),
-      "documents"
-    )
+    write(scaledDocuments(spark, srcDir, replicas), "documents")
 
     // embeddings: replica 0 verbatim; r>0 perturbed + re-normalized
     val embs = src("embeddings")
@@ -109,6 +80,54 @@ object ScaledData {
       "embeddings"
     )
 
+    marker.createNewFile()
+    ()
+  }
+
+  /** The documents scale-up shared by [[materialize]] and
+    * [[materializeDocuments]]: replica 0 verbatim; r>0 word-resampled by a
+    * per-(doc,replica) LCG so pair mass grows linearly in replicas.
+    */
+  private def scaledDocuments(spark: SparkSession, srcDir: String, replicas: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docOff = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val resample = udf { (text: String, docId: Long, r: Int) =>
+      if (r == 0 || text == null) text
+      else {
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        if (words.isEmpty) text
+        else {
+          var s = docId * 6364136223846793005L + r * 1442695040888963407L
+          val out = new Array[String](words.length)
+          var i = 0
+          while (i < words.length) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            out(i) = words(((s >>> 33) % words.length).toInt)
+            i += 1
+          }
+          out.mkString(" ")
+        }
+      }
+    }
+    (0 until replicas)
+      .map(r =>
+        docs
+          .withColumn("text", resample(col("text"), col("doc_id"), lit(r)))
+          .withColumn("doc_id", col("doc_id") + lit(r * docOff))
+      )
+      .reduce(_ unionByName _)
+  }
+
+  /** Documents-ONLY scale-up for the 100×-pair-mass LSH stress sweep: the
+    * LSH family (q20/q21/q22/q35/q36) reads nothing else, and 100× of the
+    * fact tables would waste sandbox disk for no measurement.
+    */
+  def materializeDocuments(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALED_DOCS")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+    scaledDocuments(spark, srcDir, replicas)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     marker.createNewFile()
     ()
   }

@@ -109,4 +109,25 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ops.Similarity.bruteForceTopK(embs, q, "vec_id", "vec_id", "embedding", 5))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), s"query side not broadcast:\n${p.take(1500)}")
   }
+
+  test("adaptive quantizer assignment: codegen'd nearest_seed over a broadcast seed array, no corpus shuffle") {
+    import org.apache.spark.sql.functions.{lit, struct, collect_list, sort_array, xxhash64, coalesce}
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    // The round-1 coarse assignment shape of Dedup.adaptiveBuckets: the
+    // one-row seed array reaches every row via a BROADCAST nested-loop join
+    // (the corpus never shuffles for its assignment) and the argmax kernel
+    // is the compiled nearest_seed expression inside a codegen span.
+    val seeds = embs.limit(50)
+      .agg(sort_array(collect_list(struct(xxhash64(col("id")).as("hk"), col("v").as("sv")))).as("_seeds"))
+    val assigned = embs.crossJoin(org.apache.spark.sql.functions.broadcast(seeds))
+      .select(col("id"), coalesce(xxhash64(lit(1L), graft.functions.NearestSeedExpr(col("v"), col("_seeds"))), lit(0L)).as("bucket"))
+    assigned.collect() // AQE inserts WholeStageCodegen only in the FINAL plan
+    val p = plan(assigned)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"seed array not broadcast:\n${p.take(1500)}")
+    val seedLine = p.linesIterator.find(_.contains("nearest_seed("))
+    assert(seedLine.isDefined, s"nearest_seed expression missing:\n${p.take(2000)}")
+    assert(seedLine.get.contains("*("), s"nearest_seed fell out of whole-stage codegen:\n${seedLine.get.take(300)}")
+    assert(!p.contains("Exchange hashpartitioning(id"), "corpus shuffled for assignment")
+  }
 }
