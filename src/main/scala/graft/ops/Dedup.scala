@@ -350,7 +350,8 @@ object Dedup {
     while (!exhausted && round <= maxRounds) {
       val over = current.groupBy("bucket").agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > maxBucket).select("bucket")
-      if (over.isEmpty) exhausted = true
+      val overCount = over.count()
+      if (overCount == 0) exhausted = true
       else {
         doneParts += current.join(broadcast(over), Seq("bucket"), "left_anti")
         val todo = current.join(broadcast(over), Seq("bucket"), "left_semi")
@@ -359,8 +360,18 @@ object Dedup {
           .filter(pmod(col("hk"), t) === 0)
           .groupBy("bucket")
           .agg(slice(sort_array(collect_list(struct(col("hk"), col("sv")))), 1, maxSeedsPerCell).as("_seeds"))
+        // Early rounds have FEW oversized cells, each potentially huge
+        // (round 2: ≤ coarseSeeds cells of up to n/coarseSeeds rows); a
+        // shuffle join on `bucket` would hash a whole mega-cell onto one
+        // task WITH the join attached. Broadcast the seed table while its
+        // row count is provably small (size ≈ cells × maxSeedsPerCell ×
+        // dim × 4B — ~67 MB at 1024 cells × 256 seeds × 64 dims) so the
+        // corpus streams through map tasks unshuffled; later rounds have
+        // high bucket cardinality and small cells, where a plain join is
+        // fine and a broadcast would no longer fit.
+        val seedsSide = if (overCount <= 1024) broadcast(cellSeeds) else cellSeeds
         current = materializeSigs(
-          todo.join(cellSeeds, Seq("bucket"), "left")
+          todo.join(seedsSide, Seq("bucket"), "left")
             .select(col("id"), col("v"),
               // no usable seeds this round → keep the cell, retry under the
               // next round's salt (or flow to the cap valve after maxRounds)
