@@ -688,6 +688,54 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Backward as-of attribution: each click joined to the user's most
+    * recent purchase at-or-before it ([[ops.AsofJoin.backward]] — one
+    * shuffle + sort, no range explosion). Oracle: DuckDB's NATIVE
+    * `ASOF LEFT JOIN` with the identical ≥ tie semantics. The purchase
+    * side pre-aggregates to one row per (user, instant) — the operator's
+    * documented determinism requirement.
+    */
+  def q42AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "pts")
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** JSON intake with the reference's parse-before-validate triage: the
+    * event body is decoded in one `from_json` projection; malformed rows
+    * (every 17th, corrupted by a prepended byte) surface as `parse_error`
+    * with fields null — never dropped (the HTTP-400 analog,
+    * routes/events.js:60-105). Oracle: DuckDB builds its own JSON from the
+    * same rows, corrupts the same rows, and parses with `json_valid` +
+    * `json_extract` — round-trip values agree even though each engine's
+    * JSON formatting differs.
+    */
+  def q43JsonIntake(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val ev = t(s, dir, "events").filter(col("event_type").isNotNull && col("value").isNotNull)
+    val payload = to_json(struct(
+      col("event_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents")))
+    val raw = ev.select(
+      when(col("event_id") % 17 === 0, concat(lit("x"), payload)).otherwise(payload).as("body"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_cents", LongType)))
+    graft.sources.JsonIntake.parse(raw, "body", schema)
+      .groupBy(
+        when(col(graft.sources.JsonIntake.CorruptCol).isNotNull, "parse_error").otherwise("ok").as("status"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+      .orderBy("status", "event_type")
+  }
+
   // ================================ registry ==============================
 
   val oracleBacked: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -728,7 +776,9 @@ object Queries {
     "q35_phash_near_dup" -> (qPhashNearDup _),
     "q36_dedup_components" -> (q36DedupComponents _),
     "q22_ngram_jaccard" -> (qNgramJaccard _),
-    "q41_ann_ivf_exact" -> (qAnnIvfExact _)
+    "q41_ann_ivf_exact" -> (qAnnIvfExact _),
+    "q42_asof_attribution" -> (q42AsofAttribution _),
+    "q43_json_intake" -> (q43JsonIntake _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1052,6 +1102,28 @@ object Queries {
          r AS (SELECT query_id, data_id,
                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, data_id) AS rk
                FROM s)
-         SELECT query_id, data_id FROM r WHERE rk <= 10 ORDER BY 1, 2"""
+         SELECT query_id, data_id FROM r WHERE rk <= 10 ORDER BY 1, 2""",
+    "q42_asof_attribution" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, p.purchase_id, p.pts AS purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY 1""",
+    "q43_json_intake" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents
+                     FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         raw AS (SELECT CASE WHEN event_id % 17 = 0 THEN 'x' || j ELSE j END AS body
+                 FROM (SELECT event_id,
+                              CAST(to_json(struct_pack(event_id := event_id, event_type := event_type,
+                                                       value_cents := value_cents)) AS VARCHAR) AS j
+                       FROM ev)),
+         parsed AS (SELECT CASE WHEN json_valid(body) THEN 'ok' ELSE 'parse_error' END AS status,
+                           CASE WHEN json_valid(body) THEN json_extract_string(body, '$.event_type') END AS event_type,
+                           CASE WHEN json_valid(body) THEN CAST(json_extract(body, '$.value_cents') AS BIGINT) END AS value_cents
+                    FROM raw)
+         SELECT status, event_type, COUNT(*) AS n, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+         FROM parsed GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

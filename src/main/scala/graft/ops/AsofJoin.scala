@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the payload of the
+  * single right row with the LARGEST right time ≤ the left row's time,
+  * per join key — the training-pipeline staple ("the user's most recent
+  * purchase before this click", "the latest config snapshot before this
+  * event") that plain equi/range joins can't express without a per-row
+  * top-1.
+  *
+  * Spark-first scale shape — the union + running-last trick, NOT a range
+  * join: both sides are tagged and unioned, shuffled ONCE by the join
+  * keys, sorted within partitions by (time, side), and the right payload
+  * is carried forward with `last(_, ignoreNulls)` over an unbounded-
+  * preceding window. Cost = one shuffle + one sort of |L|+|R| rows,
+  * independent of match distance — a range-join formulation explodes as
+  * |L|×|candidate window| and a per-left-row subquery is quadratic. Right
+  * rows sort BEFORE left rows at equal time, so a right row at exactly the
+  * left time matches (DuckDB `ASOF JOIN ... ON l.t >= r.t` semantics —
+  * the oracle of q42). Skewed keys behave like any keyed window: one hot
+  * key = one task; mitigate upstream by splitting the key if a single key
+  * exceeds a task (salting cannot preserve as-of semantics, which need
+  * the key's full timeline in one ordered partition).
+  *
+  * Contract:
+  *  - the payload rides in ONE struct, so a right row whose payload
+  *    FIELDS are legitimately null still matches (ignoreNulls skips only
+  *    rows, never legitimate null fields);
+  *  - right rows with a null key or null time are dropped (they can
+  *    never match under SQL equality/inequality — keeping them would let
+  *    Spark's null-grouping window falsely match null-keyed left rows);
+  *  - left rows always survive (left-outer): no prior right row ⇒ null
+  *    payload fields;
+  *  - determinism requires the right side be unique per (keys, rightTime)
+  *    — pre-aggregate duplicates (q42 takes max event_id per instant);
+  *    with duplicates the tie winner follows sort order, which Spark does
+  *    not define for equal sort keys.
+  */
+object AsofJoin {
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String
+  ): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val leftCols = left.columns.toSeq
+    val overlap = payloadCols.toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty, s"right payload columns collide with left columns: $overlap — rename before joining")
+
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_payload",
+        // a NULL struct (not a struct of nulls): ignoreNulls must skip
+        // left rows entirely when carrying the last right payload forward
+        when(lit(false), struct(payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)))
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", struct(payloadCols.map(col): _*))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_payload")): _*)
+
+    val unioned = l
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"_matched.`$c`").as(c)): _*)
+  }
+}

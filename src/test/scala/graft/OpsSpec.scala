@@ -348,6 +348,52 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("asof backward: latest right ≤ left per key; equal-time matches; no-prior and null keys unmatch") {
+    import graft.ops.AsofJoin
+    val left = Seq(
+      (1L, "u1", 10L), // after r@5 → 50
+      (2L, "u1", 5L), // EXACTLY at r@5 → 50 (>= semantics)
+      (3L, "u1", 4L), // before any right → null
+      (4L, "u2", 100L), // u2 has two priors → latest (20 → 200)
+      (5L, "u3", 10L), // no right rows for u3 → null
+      (6L, null, 10L) // null key: never matches
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("u1", 5L, 50L),
+      ("u2", 2L, 100L),
+      ("u2", 20L, 200L),
+      (null, 1L, 999L) // null-key right row must be dropped, not matched to event 6
+    ).toDF("k", "rt", "payload")
+    val got = AsofJoin.backward(left, right, Seq("k"), "t", "rt")
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(50L), 2L -> Some(50L), 3L -> None, 4L -> Some(200L), 5L -> None, 6L -> None))
+
+    // a right payload FIELD that is legitimately null still matches (the
+    // struct carrier, not raw ignoreNulls over the field)
+    val rightNullPayload = Seq(("u1", 5L, Option.empty[Long])).toDF("k", "rt", "payload")
+    val got2 = AsofJoin.backward(left.filter(col("event_id") === 1), rightNullPayload, Seq("k"), "t", "rt")
+      .select("event_id", "rt").as[(Long, Option[Long])].collect().toMap
+    assert(got2 == Map(1L -> Some(5L)), "null-field payload row must still match")
+  }
+
+  test("json intake: malformed rows surface as corrupt with raw payload, parsed rows extract fields") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType), StructField("kind", StringType)))
+    val df = Seq(
+      """{"id": 1, "kind": "a"}""",
+      """x{"id": 2, "kind": "b"}""", // prepended garbage → parse error
+      """{"id": 3}""", // missing field → parses, kind null (not corrupt)
+      null // null body → 400 analog
+    ).toDF("body")
+    val out = graft.sources.JsonIntake.parse(df, "body", schema)
+      .select("id", "kind", graft.sources.JsonIntake.CorruptCol)
+      .as[(Option[Long], Option[String], Option[String])].collect().toSeq
+    assert(out(0) == ((Some(1L), Some("a"), None)))
+    assert(out(1)._1.isEmpty && out(1)._3.exists(_.startsWith("x{")), s"corrupt row: ${out(1)}")
+    assert(out(2) == ((Some(3L), None, None)), "missing optional field is NOT a parse error")
+    assert(out(3)._3.contains(""), "null body is a parse error with empty raw payload")
+  }
+
   test("langId classifies synthetic multilingual text; CJK by codepoints") {
     val df = Seq(
       ("en", "the cat sat on the mat and it was happy"),
