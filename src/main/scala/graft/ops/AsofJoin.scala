@@ -41,12 +41,20 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param tolerance optional max staleness: a match is kept only when
+    *   `leftTime - rightTime <= tolerance` (e.g. `expr("INTERVAL 7 DAYS")`
+    *   for timestamps, `lit(30L)` for numeric times). The nearest-prior row
+    *   is still the ONLY candidate — a too-stale nearest match yields null,
+    *   it does not fall back to an even older row (standard as-of
+    *   tolerance semantics, e.g. pandas merge_asof).
+    */
   def backward(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      tolerance: Option[Column] = None
   ): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
@@ -77,9 +85,16 @@ object AsofJoin {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val carried = unioned
       .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"_matched.`$c`").as(c)): _*)
+    val gated = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        // too-stale nearest match → no match (null struct), not an older row
+        carried.withColumn("_matched",
+          when(col(leftTime) - col(s"_matched.`$rightTime`") <= tol, col("_matched")))
+    }
+    gated.select(leftCols.map(col) ++ payloadCols.map(c => col(s"_matched.`$c`").as(c)): _*)
   }
 }

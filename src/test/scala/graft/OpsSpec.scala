@@ -374,6 +374,14 @@ class OpsSpec extends SparkSpec {
     val got2 = AsofJoin.backward(left.filter(col("event_id") === 1), rightNullPayload, Seq("k"), "t", "rt")
       .select("event_id", "rt").as[(Long, Option[Long])].collect().toMap
     assert(got2 == Map(1L -> Some(5L)), "null-field payload row must still match")
+
+    // tolerance: a too-stale nearest match yields NULL, never an older row
+    def withTol(tol: Long) = AsofJoin.backward(left, right, Seq("k"), "t", "rt", tolerance = Some(lit(tol)))
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(withTol(5L)(1L) == Some(50L)) // 10-5=5 ≤ 5 → keep
+    assert(withTol(3L)(1L) == None) // 5 > 3 → stale, no fallback
+    assert(withTol(3L)(2L) == Some(50L)) // exact-time match has staleness 0
+    assert(withTol(200L)(4L) == Some(200L), "tolerance rejects by the MATCHED row's staleness (80), not the older one's")
   }
 
   test("json intake: malformed rows surface as corrupt with raw payload, parsed rows extract fields") {
