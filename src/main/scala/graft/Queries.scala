@@ -710,7 +710,7 @@ object Queries {
     * event body is decoded in one `from_json` projection; malformed rows
     * (every 17th, corrupted by a prepended byte) surface as `parse_error`
     * with fields null — never dropped (the HTTP-400 analog,
-    * routes/events.js:60-105). Oracle: DuckDB builds its own JSON from the
+    * routes/events.js:44-52). Oracle: DuckDB builds its own JSON from the
     * same rows, corrupts the same rows, and parses with `json_valid` +
     * `json_extract` — round-trip values agree even though each engine's
     * JSON formatting differs.

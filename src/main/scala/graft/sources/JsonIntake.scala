@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** JSON event intake: the reference is literally a JSON event gate — every
-  * HTTP body is parsed before validation, and a body that fails to PARSE
-  * is answered 400 without ever reaching schema validation
-  * (/root/reference/lib/eventgate.js:118-132 `factory` wiring +
-  * routes/events.js:60-105: the error event for an unparseable payload).
+  * HTTP body is parsed before validation (`bodyParser.json`,
+  * /root/reference/app.js:145), and a body that fails to parse or is
+  * empty is answered 400 without ever reaching schema validation
+  * (/root/reference/routes/events.js:44-52).
   * Columnar translation: a string column of JSON events is decoded against
   * the expected struct schema in ONE codegen'd `from_json` projection;
   * malformed rows are NOT dropped (Spark's default FAILFAST/implicit-null
@@ -29,8 +29,8 @@ object JsonIntake {
     *  - `_corrupt_json`: the raw payload for rows that failed to parse,
     *    null for rows that parsed (the 400-analog marker).
     *
-    * A row whose payload is NULL is treated as malformed with a null raw
-    * payload (the reference 400s an empty body: routes/events.js:66-70).
+    * A row whose payload is NULL is treated as malformed with an empty raw
+    * payload (the reference 400s an empty body: routes/events.js:44-52).
     */
   def parse(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol), s"schema may not already contain $CorruptCol")

@@ -384,6 +384,32 @@ class OpsSpec extends SparkSpec {
     assert(withTol(200L)(4L) == Some(200L), "tolerance rejects by the MATCHED row's staleness (80), not the older one's")
   }
 
+  test("asof backward ≡ driver-side reference over randomized data (incl. tolerance gating)") {
+    import graft.ops.AsofJoin
+    val rnd = new scala.util.Random(23)
+    val keyPool = (0 until 6).map(i => s"k$i")
+    val leftRows = (0 until 400).map(i => (i.toLong, keyPool(rnd.nextInt(keyPool.length)), rnd.nextInt(60).toLong))
+    val rightRows = (0 until 300)
+      .map(_ => (keyPool(rnd.nextInt(keyPool.length)), rnd.nextInt(60).toLong))
+      .distinct // the operator's uniqueness-per-(key, time) contract
+      .map { case (k, rt) => (k, rt, rnd.nextInt(100000).toLong) }
+    val L = leftRows.toDF("id", "k", "t")
+    val R = rightRows.toDF("k", "rt", "p")
+
+    def reference(tol: Option[Long]): Map[Long, Option[Long]] = leftRows.map { case (id, k, t) =>
+      val prior = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val best = if (prior.isEmpty) None else Some(prior.maxBy(_._2))
+      // tolerance gates the NEAREST match — it never falls back to older rows
+      id -> best.filter(b => tol.forall(x => t - b._2 <= x)).map(_._3)
+    }.toMap
+
+    for (tol <- Seq(None, Some(5L), Some(0L))) {
+      val got = AsofJoin.backward(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      assert(got == reference(tol), s"asof mismatch at tolerance $tol")
+    }
+  }
+
   test("json intake: malformed rows surface as corrupt with raw payload, parsed rows extract fields") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(StructField("id", LongType), StructField("kind", StringType)))
