@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * raw payload preserved, so the triage order stays parse-error >
   * validation-error > success, exactly the reference's.
   *
-  * Scale: `from_json` is a per-row projection inside whole-stage codegen —
-  * no shuffle, no UDF; the corrupt-record column rides Spark's PERMISSIVE
-  * parser rather than a second parse.
+  * Scale: `from_json` is a per-row projection — no shuffle, no UDF; the
+  * corrupt-record column rides Spark's PERMISSIVE parser rather than a
+  * second parse. (`JsonToStructs` is CodegenFallback in Spark, so the
+  * projection evaluates outside whole-stage codegen — the Jackson parse
+  * dominates its cost either way; PlanSpec pins the no-shuffle/no-UDF
+  * shape.)
   */
 object JsonIntake {
 

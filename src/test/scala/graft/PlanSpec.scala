@@ -110,6 +110,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), s"query side not broadcast:\n${p.take(1500)}")
   }
 
+  test("asof join: ONE hash shuffle on the key, no range join, no cartesian") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts")).agg(max("event_id").as("purchase_id"))
+    val joined = graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "pts")
+    joined.collect()
+    val p = plan(joined)
+    // union + running-last: the only hash exchanges are the keyed window's
+    // (and the purchase-side pre-aggregation's) — no join operator at all
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") && !p.contains("NestedLoopJoin"),
+      s"asof must not plan a physical join:\n${p.take(1500)}")
+    // AdaptiveSparkPlan prints Final AND Initial sections — count only the
+    // final one. Expected: the window's keyed exchange + the purchase-side
+    // pre-aggregation's (user_id, pts) exchange. Nothing else.
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(shuffles <= 2, s"asof shuffled more than (window + right pre-agg):\n${finalSection.take(2000)}")
+    assert(finalSection.contains("Window"), "running-last window missing")
+  }
+
+  test("json intake parses inside whole-stage codegen with no shuffle before the aggregation") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_json(struct(col("event_id"), col("event_type"))).as("body"))
+    val schema = StructType(Seq(StructField("event_id", LongType), StructField("event_type", StringType)))
+    val parsed = graft.sources.JsonIntake.parse(raw, "body", schema)
+      .groupBy("event_type").count()
+    parsed.collect()
+    val p = plan(parsed).split("== Initial Plan ==")(0)
+    // JsonToStructs is CodegenFallback in Spark — the parse runs as a plain
+    // projection (the Jackson parse dominates its cost either way); what
+    // the plan MUST show is a single projection with no UDF and exactly the
+    // one aggregation exchange: intake adds zero shuffles.
+    assert(p.contains("from_json"), s"from_json missing:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), "intake must not use a UDF")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"unexpected shuffles:\n${p.take(2000)}")
+  }
+
   test("adaptive quantizer assignment: codegen'd nearest_seed over a broadcast seed array, no corpus shuffle") {
     import org.apache.spark.sql.functions.{lit, struct, collect_list, sort_array, xxhash64, coalesce}
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
