@@ -281,6 +281,48 @@ class MultiStreamSpec extends SparkSpec {
     assert(detail.contains("EventSchemaLoadError"), detail)
   }
 
+  test("full intake parity: reference's raw JSON events → parse (400 analog) → dispatch → validate in one pipeline") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import graft.constraint.JsonTypeIs
+    // The reference's canonical events VERBATIM (FIXTURES.md A.2) plus the
+    // two parse-failure shapes the HTTP layer 400s (malformed, empty body)
+    val events = Seq(
+      """{"$schema":"/test/0.0.1","meta":{"stream":"test.event","id":"5e1dd101-641c-11e8-ab6c-b083fecf1287"},"test":"test_value_0"}""",
+      """{"$schema":"/test/0.0.1","meta":{"stream":"test.event","id":"5e1dd101-641c-11e8-ab6c-b083fecf1289"},"test":1234}""",
+      """x{"$schema":"/test/0.0.1"}""",
+      null
+    ).toDF("raw")
+    // Typed parse extracts routing fields; `test` is validated on the RAW
+    // string (JsonTypeIs via variant) because a typed StringType parse
+    // would coerce 1234 → "1234" and erase the reference's type violation.
+    val schema = StructType(Seq(
+      StructField("$schema", StringType),
+      StructField("meta", StructType(Seq(StructField("stream", StringType), StructField("id", StringType))))))
+    val parsed = graft.sources.JsonIntake.parse(events, "raw", schema)
+      .withColumn("stream", col("meta.stream"))
+      .withColumn("id", col("meta.id"))
+    val reg = ConstraintRegistry(
+      Seq(ConstraintSet("test/0.0.1", Seq.empty, Seq(JsonTypeIs("test", "string", "raw")))),
+      routes = Map("test.event" -> "test/0.0.1"))
+    val res = new MultiStreamEngine(
+      reg, EngineOptions(snapshotId = "intake", idField = "id"),
+      schemaUriCols = Seq("$schema") // parse-failed rows: stream AND uri null → unroutable → error
+    ).process(parsed)
+    val rows = res.annotated
+      .select(col("raw"), col("status"), col("violations.detail").as("details"))
+      .collect()
+    val valid = rows.find(r => Option(r.getString(0)).exists(_.contains("test_value_0"))).get
+    val invalid = rows.find(r => Option(r.getString(0)).exists(_.contains("1234"))).get
+    assert(valid.getString(1) == Status.Success)
+    assert(invalid.getString(1) == Status.Invalid)
+    assert(invalid.getSeq[String](2) == Seq("'.test' should be string")) // spec.test.yaml:124 golden string
+    // both parse failures triage as ERROR (the 400 analog), ahead of validation
+    val errors = rows.filter(_.getString(1) == Status.Error)
+    assert(errors.length == 2, rows.mkString("; "))
+    assert(res.rollups.agg(sum("n_success"), sum("n_invalid"), sum("n_error"))
+      .collect()(0).toSeq == Seq(1L, 1L, 2L))
+  }
+
   test("readValid on an all-failing chain is an empty frame, not an error") {
     import graft.table.{MultiStreamValidationJob, SnapshotLog}
     val log = new SnapshotLog(
