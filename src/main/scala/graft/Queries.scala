@@ -688,6 +688,22 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Incremental near-dup: an arriving batch (25 exact copies of corpus
+    * rows under fresh ids) checked against the corpus — cross-side pairs
+    * only, no corpus self-join. Oracle: exhaustive cross cosine in DuckDB;
+    * recall determinism as q27 (exact duplicates share every RP bucket,
+    * natural pair cosines top out ≈0.51 ≪ 0.95).
+    */
+  def q44IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+    val incoming = corpus.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 3000000).as("vec_id"), col("embedding"))
+    Dedup
+      .embeddingPairsAgainst(corpus, incoming, "vec_id", "embedding", dim = 64, threshold = 0.95, nbits = 10)
+      .select(col("corpus_id"), col("incoming_id"), round(col("cosine"), 3).as("cosine_3dp"))
+      .orderBy("corpus_id", "incoming_id")
+  }
+
   /** Backward as-of attribution: each click joined to the user's most
     * recent purchase at-or-before it ([[ops.AsofJoin.backward]] — one
     * shuffle + sort, no range explosion). Oracle: DuckDB's NATIVE
@@ -778,7 +794,8 @@ object Queries {
     "q22_ngram_jaccard" -> (qNgramJaccard _),
     "q41_ann_ivf_exact" -> (qAnnIvfExact _),
     "q42_asof_attribution" -> (q42AsofAttribution _),
-    "q43_json_intake" -> (q43JsonIntake _)
+    "q43_json_intake" -> (q43JsonIntake _),
+    "q44_incremental_near_dup" -> (q44IncrementalNearDup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1124,6 +1141,13 @@ object Queries {
                            CASE WHEN json_valid(body) THEN CAST(json_extract(body, '$.value_cents') AS BIGINT) END AS value_cents
                     FROM raw)
          SELECT status, event_type, COUNT(*) AS n, CAST(SUM(value_cents) AS BIGINT) AS sum_cents
-         FROM parsed GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM parsed GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q44_incremental_near_dup" ->
+      """WITH inc AS (SELECT vec_id + 3000000 AS incoming_id, embedding FROM embeddings WHERE vec_id < 25)
+         SELECT c.vec_id AS corpus_id, i.incoming_id,
+                round(list_cosine_similarity(c.embedding, i.embedding), 3) AS cosine_3dp
+         FROM embeddings c, inc i
+         WHERE list_cosine_similarity(c.embedding, i.embedding) >= 0.95
+         ORDER BY 1, 2"""
   )
 }

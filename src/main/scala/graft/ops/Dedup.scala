@@ -33,11 +33,13 @@ object Dedup {
     * Dataset.observe (no extra job; surfaces through QueryExecutionListener
     * at cluster scale).
     */
-  private def capBuckets(keys: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+  private def capBuckets(keys: DataFrame, bucketCols: Seq[String], maxBucket: Int, obsName: String = "lsh_buckets"): DataFrame = {
     val w = Window.partitionBy(bucketCols.map(col): _*)
     keys
       .withColumn("_bn", count(lit(1)).over(w))
-      .observe("lsh_buckets", sum(when(col("_bn") > maxBucket, 1L).otherwise(0L)).as("lsh_dropped_rows"))
+      // obsName must be unique per query — operators that cap two sides in
+      // one plan (embeddingPairsAgainst) pass distinct names
+      .observe(obsName, sum(when(col("_bn") > maxBucket, 1L).otherwise(0L)).as("lsh_dropped_rows"))
       .filter(col("_bn") <= maxBucket)
       .drop("_bn")
   }
@@ -248,6 +250,45 @@ object Dedup {
       df.select(col(idCol).as("id"), col(vecCol).as("v"))
         .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits)),
       threshold, maxBucket)
+
+  /** INCREMENTAL near-dup detection: pairs (corpus_id, incoming_id) where a
+    * row of the arriving batch near-duplicates an already-ingested corpus
+    * row — the production dedup shape at 10^12 rows: each batch is checked
+    * against the corpus WITHOUT re-pairing the corpus against itself
+    * (corpus self-pairs were found when those rows arrived).
+    *
+    * Scale shape: the two sides are bucketed separately and meet in a plain
+    * bucket equi-join — cross-side by construction, no tag column, no
+    * self-join. `rpSignature` carries no fitted state (hyperplanes derive
+    * from xxhash64), so the corpus side's (id, bucket, vector) table can be
+    * MATERIALIZED ONCE and reused verbatim for every future batch — the
+    * per-batch cost is signing the batch plus one join against the stored
+    * signatures, never a corpus re-scan. Both sides are capped (hot corpus
+    * buckets bound the join's per-bucket fan-out; a degenerate incoming
+    * batch — e.g. all-identical rows — is capped on its own side), with
+    * drops observable under separate names (`lsh_buckets` /
+    * `lsh_buckets_incoming`).
+    */
+  def embeddingPairsAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = 12,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"_v_$side"))
+        .withColumn("bucket", Similarity.rpSignature(col(s"_v_$side"), dim, nbits))
+    val c = capBuckets(keyed(corpus, "corpus"), Seq("bucket"), maxBucket)
+    val i = capBuckets(keyed(incoming, "incoming"), Seq("bucket"), maxBucket, obsName = "lsh_buckets_incoming")
+    c.join(i, Seq("bucket"))
+      .select(col("corpus_id"), col("incoming_id"),
+        Similarity.cosine(col("_v_corpus"), col("_v_incoming")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a data-adaptive

@@ -249,6 +249,23 @@ class OpsSpec extends SparkSpec {
     assert(found.size == 2, s"false positives: $found")
   }
 
+  test("incremental near-dup: cross-side pairs only; corpus self-dups never reported") {
+    // corpus contains an INTERNAL dup pair (0 ≅ 90000) that must NOT
+    // surface; incoming contains one exact copy of corpus row 1 and one
+    // far-away random row.
+    val corpusDup = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(corpusDup)
+    val rnd = new scala.util.Random(31)
+    val randomRow = Seq((600000L, Seq.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val incoming = embs.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      .unionByName(randomRow)
+    val pairs = Dedup.embeddingPairsAgainst(corpus, incoming, "vec_id", "embedding", dim = 64, threshold = 0.999)
+      .select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 500001L)), s"expected exactly the planted cross pair: $pairs")
+  }
+
   test("adaptiveBuckets: oversized coarse cells split recursively to ≤ maxBucket; identical vectors co-bucket") {
     val rnd = new scala.util.Random(17)
     val data = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
