@@ -704,6 +704,22 @@ object Queries {
       .orderBy("corpus_id", "incoming_id")
   }
 
+  /** Incremental TEXT near-dup: suffix-edited copies of 15 docs arrive
+    * against the sampled corpus; cross-side band-join only. Oracle:
+    * exhaustive cross 5-gram Jaccard (planted pairs sit at j ≈ 0.97 where
+    * 16-band/4-row recall is deterministic; corpus docs that exactly
+    * duplicate a copied doc surface in both engines identically).
+    */
+  def q45IncrementalTextDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val incoming = t(s, dir, "documents").filter(col("doc_id") < 15)
+      .select((col("doc_id") + 4000000).as("doc_id"), concat(col("text"), lit(" zq")).as("text"))
+    Dedup
+      .minhashPairsAgainst(corpus, incoming, "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8)
+      .select(col("corpus_id"), col("incoming_id"), round(col("jaccard"), 3).as("jaccard_3dp"))
+      .orderBy("corpus_id", "incoming_id")
+  }
+
   /** Backward as-of attribution: each click joined to the user's most
     * recent purchase at-or-before it ([[ops.AsofJoin.backward]] — one
     * shuffle + sort, no range explosion). Oracle: DuckDB's NATIVE
@@ -795,7 +811,8 @@ object Queries {
     "q41_ann_ivf_exact" -> (qAnnIvfExact _),
     "q42_asof_attribution" -> (q42AsofAttribution _),
     "q43_json_intake" -> (q43JsonIntake _),
-    "q44_incremental_near_dup" -> (q44IncrementalNearDup _)
+    "q44_incremental_near_dup" -> (q44IncrementalNearDup _),
+    "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1148,6 +1165,23 @@ object Queries {
                 round(list_cosine_similarity(c.embedding, i.embedding), 3) AS cosine_3dp
          FROM embeddings c, inc i
          WHERE list_cosine_similarity(c.embedding, i.embedding) >= 0.95
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    "q45_incremental_text_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         inc AS (SELECT doc_id + 4000000 AS doc_id, text || ' zq' AS text
+                 FROM documents WHERE doc_id < 15),
+         gc AS (SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+                FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS gs) s),
+         gi AS (SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+                FROM inc, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS gs) s),
+         nc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
+         ni AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
+         i AS (SELECT c.doc_id AS corpus_id, x.doc_id AS incoming_id, count(*) AS inter
+               FROM gc c JOIN gi x USING (g) GROUP BY 1, 2),
+         j AS (SELECT corpus_id, incoming_id,
+                      CAST(inter AS DOUBLE)/(nc.n + ni.n - inter) AS jac
+               FROM i JOIN nc ON nc.doc_id = corpus_id JOIN ni ON ni.doc_id = incoming_id)
+         SELECT corpus_id, incoming_id, round(jac, 3) AS jaccard_3dp
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
   )
 }

@@ -129,6 +129,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL text near-dup: pairs (corpus_id, incoming_id, jaccard)
+    * where an arriving document near-duplicates an already-ingested corpus
+    * document — [[embeddingPairsAgainst]]'s text twin. Cross-side band-key
+    * join only (no corpus self-join); minhash band keys are stateless
+    * (xxhash64-seeded lanes), so the corpus (id, shingles, bands) table —
+    * exactly what [[materializeSigs]] writes — can be stored once and
+    * reused verbatim for every future batch. Both sides capped with
+    * separately observable drops.
+    */
+  def minhashPairsAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    def sigs(df: DataFrame, tag: String) = materializeSigs(
+      df.select(col(idCol).as("id"), graft.functions.TextHash.hashedShinglesSorted(col(textCol), shingleK).as("sh"))
+        .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands)),
+      s"minhash-$tag")
+    def keys(s: DataFrame, obsName: String) = capBuckets(
+      s.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), maxBucket, obsName)
+    val cSigs = sigs(corpus, "corpus")
+    val iSigs = sigs(incoming, "incoming")
+    val cand = keys(cSigs, "lsh_buckets")
+      .select(col("id").as("corpus_id"), col("band_idx"), col("band_key"))
+      .join(
+        keys(iSigs, "lsh_buckets_incoming")
+          .select(col("id").as("incoming_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select("corpus_id", "incoming_id")
+      .distinct()
+    cand
+      .join(cSigs.select(col("id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+      .join(iSigs.select(col("id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
+      .withColumn("jaccard", TextOps.jaccardSorted(col("sh_c"), col("sh_i")))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "incoming_id", "jaccard")
+  }
+
   /** Near-duplicate pairs of any 64-bit similarity signature: 4×16-bit band
     * buckets (pigeonhole: hamming ≤ 3 guarantees one identical band),
     * verified by exact Hamming distance ≤ maxHamming. The shared kernel of

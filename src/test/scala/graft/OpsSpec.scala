@@ -266,6 +266,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 500001L)), s"expected exactly the planted cross pair: $pairs")
   }
 
+  test("incremental text dedup: cross-side pairs only; corpus self-dups never reported") {
+    val corpus = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+      .unionByName( // internal corpus dup (doc 0 copied) — must NOT surface
+        docs.filter(col("doc_id") === 0).select((col("doc_id") + 70000).as("doc_id"), col("text")))
+    val incoming = docs.filter(col("doc_id") === 3)
+      .select((col("doc_id") + 80000).as("doc_id"), concat(col("text"), lit(" qz")).as("text"))
+      .unionByName(Seq((90000L, "zzz completely unrelated text qqq xxx yyy www vvv uuu ttt sss")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashPairsAgainst(corpus, incoming, "doc_id", "text", threshold = 0.8)
+      .select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 80003L)), s"planted cross pair not found: $pairs")
+    assert(!pairs.exists(_._2 == 90000L), s"unrelated incoming doc matched: $pairs")
+    assert(pairs.forall(_._2 >= 80000L), s"non-incoming ids on the incoming side: $pairs")
+  }
+
   test("adaptiveBuckets: oversized coarse cells split recursively to ≤ maxBucket; identical vectors co-bucket") {
     val rnd = new scala.util.Random(17)
     val data = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
