@@ -148,28 +148,48 @@ object Dedup {
       numBands: Int = 16,
       threshold: Double = 0.7,
       maxBucket: Int = DefaultMaxBucket
-  ): DataFrame = {
+  ): DataFrame =
+    minhashPairsAgainstSignatures(
+      materializeSigs(minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, numBands), "minhash-corpus"),
+      materializeSigs(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, numBands), "minhash-incoming"),
+      threshold, maxBucket)
+
+  /** The (id, sh, bands) signature frame of [[minhashPairsAgainst]] — pure
+    * deterministic Columns, no fitted state: WRITE this once for the
+    * corpus (e.g. as a snapshot table) and feed the stored frame to
+    * [[minhashPairsAgainstSignatures]] on every arriving batch, so
+    * per-batch dedup cost is signing the batch + one join — the corpus is
+    * never re-scanned, let alone re-shingled.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleK: Int = 5, numHashes: Int = 64, numBands: Int = 16): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
-    def sigs(df: DataFrame, tag: String) = materializeSigs(
-      df.select(col(idCol).as("id"), graft.functions.TextHash.hashedShinglesSorted(col(textCol), shingleK).as("sh"))
-        .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands)),
-      s"minhash-$tag")
+    df.select(col(idCol).as("id"), graft.functions.TextHash.hashedShinglesSorted(col(textCol), shingleK).as("sh"))
+      .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands))
+  }
+
+  /** Cross-side pairing over prebuilt [[minhashSignatures]] frames (both
+    * sides must share shingleK/numHashes/numBands).
+    */
+  def minhashPairsAgainstSignatures(
+      corpusSigs: DataFrame,
+      incomingSigs: DataFrame,
+      threshold: Double = 0.7,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
     def keys(s: DataFrame, obsName: String) = capBuckets(
       s.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
       Seq("band_idx", "band_key"), maxBucket, obsName)
-    val cSigs = sigs(corpus, "corpus")
-    val iSigs = sigs(incoming, "incoming")
-    val cand = keys(cSigs, "lsh_buckets")
+    val cand = keys(corpusSigs, "lsh_buckets")
       .select(col("id").as("corpus_id"), col("band_idx"), col("band_key"))
       .join(
-        keys(iSigs, "lsh_buckets_incoming")
+        keys(incomingSigs, "lsh_buckets_incoming")
           .select(col("id").as("incoming_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select("corpus_id", "incoming_id")
       .distinct()
     cand
-      .join(cSigs.select(col("id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
-      .join(iSigs.select(col("id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sh").as("sh_c")), Seq("corpus_id"))
+      .join(incomingSigs.select(col("id").as("incoming_id"), col("sh").as("sh_i")), Seq("incoming_id"))
       .withColumn("jaccard", TextOps.jaccardSorted(col("sh_c"), col("sh_i")))
       .filter(col("jaccard") >= threshold)
       .select("corpus_id", "incoming_id", "jaccard")
@@ -324,13 +344,34 @@ object Dedup {
       threshold: Double = 0.95,
       nbits: Int = 12,
       maxBucket: Int = DefaultMaxBucket
+  ): DataFrame =
+    embeddingPairsAgainstSignatures(
+      embeddingSignatures(corpus, idCol, vecCol, dim, nbits),
+      embeddingSignatures(incoming, idCol, vecCol, dim, nbits),
+      threshold, maxBucket)
+
+  /** The (id, v, bucket) signature frame of [[embeddingPairsAgainst]] —
+    * stateless-deterministic like [[minhashSignatures]]: store once for
+    * the corpus, feed the stored frame per batch.
+    */
+  def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int, nbits: Int = 12): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.rpSignature(col("v"), dim, nbits))
+
+  /** Cross-side pairing over prebuilt [[embeddingSignatures]] frames (both
+    * sides must share dim/nbits).
+    */
+  def embeddingPairsAgainstSignatures(
+      corpusSigs: DataFrame,
+      incomingSigs: DataFrame,
+      threshold: Double = 0.95,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
-    def keyed(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"_v_$side"))
-        .withColumn("bucket", Similarity.rpSignature(col(s"_v_$side"), dim, nbits))
-    val c = capBuckets(keyed(corpus, "corpus"), Seq("bucket"), maxBucket)
-    val i = capBuckets(keyed(incoming, "incoming"), Seq("bucket"), maxBucket, obsName = "lsh_buckets_incoming")
-    c.join(i, Seq("bucket"))
+    def side(s: DataFrame, name: String, obsName: String) = capBuckets(
+      s.select(col("id").as(s"${name}_id"), col("v").as(s"_v_$name"), col("bucket")),
+      Seq("bucket"), maxBucket, obsName)
+    side(corpusSigs, "corpus", "lsh_buckets")
+      .join(side(incomingSigs, "incoming", "lsh_buckets_incoming"), Seq("bucket"))
       .select(col("corpus_id"), col("incoming_id"),
         Similarity.cosine(col("_v_corpus"), col("_v_incoming")).as("cosine"))
       .filter(col("cosine") >= threshold)

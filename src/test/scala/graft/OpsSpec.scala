@@ -280,6 +280,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(_._2 >= 80000L), s"non-incoming ids on the incoming side: $pairs")
   }
 
+  test("incremental dedup: a STORED corpus signature table serves successive batches identically") {
+    // The write-once/reuse-forever contract: corpus signatures built once,
+    // round-tripped through parquet, then fed to two different batches —
+    // results must equal the one-shot convenience API's.
+    val corpus = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val stored = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    Dedup.minhashSignatures(corpus, "doc_id", "text").write.mode("overwrite").parquet(stored)
+    val corpusSigs = spark.read.parquet(stored)
+    def batch(ids: Seq[Long], suffix: String) = docs.filter(col("doc_id").isin(ids: _*))
+      .select((col("doc_id") + 80000).as("doc_id"), concat(col("text"), lit(suffix)).as("text"))
+    for ((ids, sfx) <- Seq((Seq(3L, 6L), " qz"), (Seq(9L), " zz"))) {
+      val viaStored = Dedup.minhashPairsAgainstSignatures(
+        corpusSigs, Dedup.minhashSignatures(batch(ids, sfx), "doc_id", "text"))
+        .select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+      val direct = Dedup.minhashPairsAgainst(corpus, batch(ids, sfx), "doc_id", "text")
+        .select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+      assert(viaStored == direct, s"stored-signature path diverged for batch $ids")
+      ids.foreach(i => assert(viaStored.contains((i, i + 80000)), s"planted pair $i missing: $viaStored"))
+    }
+  }
+
   test("adaptiveBuckets: oversized coarse cells split recursively to ≤ maxBucket; identical vectors co-bucket") {
     val rnd = new scala.util.Random(17)
     val data = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
