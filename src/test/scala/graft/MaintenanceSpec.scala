@@ -375,6 +375,71 @@ class MaintenanceSpec extends SparkSpec {
     assert(log2.readTable(spark, log2.head.get, "annotated").count() == N / P)
   }
 
+  test("IncrementalDedup: cross-batch pairs via stored signatures; replayed slice never double-commits") {
+    import graft.streaming.IncrementalDedup
+    import graft.table.Manifest
+    import spark.implicits._
+    val log = newLog()
+    def doc(i: Long, tag: String) = {
+      // genuinely distinct texts (a shared template would make every doc a
+      // legitimate near-dup of every other at 5-gram Jaccard 0.7)
+      val rnd = new scala.util.Random(i * 1315423911L + tag.hashCode)
+      (i, (0 until 40).map(_ => f"w${rnd.nextInt(5000)}%04d").mkString(" "))
+    }
+    def commitDocs(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val dir = log.dataDir(s"docs-$tag", "documents")
+      val df = rows.toDF("doc_id", "text")
+      df.write.mode("overwrite").parquet(dir)
+      val head = log.head
+      log.commit(Manifest(
+        snapshotId = "", sequence = 0L, parentId = head.map(_.snapshotId),
+        constraintVersion = "docs/1", partitionSpec = "batch",
+        partitionsDelta = Seq.empty, complete = false,
+        tables = Map("documents" -> Seq(dir)),
+        metrics = head.map(_.metrics).getOrElse(Map.empty),
+        sketches = Map.empty, createdAtMs = System.currentTimeMillis(),
+        tableSchemas = Map("documents" -> df.schema.json)
+      ))
+    }
+    commitDocs("b1", (0L until 10L).map(doc(_, "first")))
+    // b2 doc 103 is a near-copy of b1's doc 3; b3 doc 203 near-copies BOTH
+    commitDocs("b2", Seq((103L, doc(3L, "first")._2 + " qz"), (110L, doc(110L, "second")._2)))
+    commitDocs("b3", Seq((203L, doc(3L, "first")._2 + " zq")))
+
+    val cursorDir = Files.createTempDirectory("graft_incdedup").toString
+    val sigLog = newLog()
+    intercept[IllegalArgumentException] { // self-following is rejected outright
+      new IncrementalDedup(log, log, "documents", "doc_id", "text", cursorDir, spark.sparkContext.hadoopConfiguration)
+    }
+    val dedup = new IncrementalDedup(log, sigLog, "documents", "doc_id", "text",
+      cursorDir, spark.sparkContext.hadoopConfiguration)
+    var seen = Vector.empty[Set[(Long, Long)]]
+    def collectPairs(df: DataFrame): Unit =
+      seen :+= df.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+    // drain one commit per step: pairs accrue strictly against PRIOR batches
+    while (dedup.step(spark, maxCommits = 1)(collectPairs) > 0) ()
+    assert(seen == Vector(Set.empty, Set((3L, 103L)), Set((3L, 203L), (103L, 203L))),
+      s"per-slice cross-batch pairs: $seen")
+    val sigRows = sigLog.readTable(spark, sigLog.head.get, dedup.SigTable).count()
+    assert(sigRows == 13, s"signature table must hold every ingested doc once: $sigRows")
+
+    // crash window: the cursor write is LOST after the last slice's
+    // signature commit — the replay re-delivers that slice's pairs
+    // (at-least-once; self-pairs against its own stored signatures are
+    // filtered) but must NOT double the signature table or its manifests
+    val fs = new org.apache.hadoop.fs.Path(cursorDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(cursorDir, "cursor-documents.txt"), true)
+    out.write("2".getBytes); out.close() // rewind past the b3 slice
+    val seqBefore = sigLog.head.get.sequence
+    var replayed = Vector.empty[Set[(Long, Long)]]
+    while (dedup.step(spark, maxCommits = 1)(df => replayed :+= df.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet) > 0) ()
+    assert(replayed == Vector(Set((3L, 203L), (103L, 203L))),
+      s"replayed slice must re-derive exactly its original pairs: $replayed")
+    assert(sigLog.head.get.sequence == seqBefore, "replay committed duplicate signature manifests")
+    assert(sigLog.readTable(spark, sigLog.head.get, dedup.SigTable).count() == 13,
+      "replay doubled the signature table")
+  }
+
   test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
     val log = newLog()
     new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
