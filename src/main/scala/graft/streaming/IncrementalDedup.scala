@@ -80,7 +80,10 @@ final class IncrementalDedup(
         Dedup.minhashPairsAgainstSignatures(corpusSigs, sliceSigs, threshold, maxBucket)
           .filter(org.apache.spark.sql.functions.col("corpus_id") =!=
             org.apache.spark.sql.functions.col("incoming_id")))
-      if (!head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
+      // Row-less slices (the producer's checkpoint/compaction commits fall
+      // inside poll ranges but add no documents) store nothing — idle polls
+      // must not grow the signature chain with empty manifests.
+      if (!sliceSigs.isEmpty && !head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
         sigLog.commit(Manifest(
           snapshotId = "", sequence = 0L, // assigned by commit
           parentId = head.map(_.snapshotId),

@@ -438,6 +438,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(sigLog.head.get.sequence == seqBefore, "replay committed duplicate signature manifests")
     assert(sigLog.readTable(spark, sigLog.head.get, dedup.SigTable).count() == 13,
       "replay doubled the signature table")
+
+    // a producer metadata commit (checkpoint) adds no documents: the step
+    // consumes it without growing the signature chain
+    log.checkpoint(log.head.get)
+    val sigSeq = sigLog.head.get.sequence
+    assert(dedup.step(spark)(df => assert(df.isEmpty, "idle slice produced pairs")) > 0)
+    assert(sigLog.head.get.sequence == sigSeq, "idle slice committed an empty signature manifest")
+    assert(dedup.step(spark)(_ => fail("caught up")) == 0L)
   }
 
   test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
