@@ -409,6 +409,15 @@ object Queries {
     Dedup.components(qPhashNearDup(s, dir))
       .select(col("id"), col("component"))
 
+  /** Pairs → groups → the DROP list (keep min id per group) — the decision
+    * a curation pipeline executes. Same closed-form oracle family as q36:
+    * over the q35 clique graph, drop = every present member above its
+    * group's min.
+    */
+  def q46PruneList(s: SparkSession, dir: String): DataFrame =
+    Dedup.pruneList(qPhashNearDup(s, dir))
+      .orderBy("drop_id")
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -812,7 +821,8 @@ object Queries {
     "q42_asof_attribution" -> (q42AsofAttribution _),
     "q43_json_intake" -> (q43JsonIntake _),
     "q44_incremental_near_dup" -> (q44IncrementalNearDup _),
-    "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _)
+    "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _),
+    "q46_prune_list" -> (q46PruneList _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1182,6 +1192,15 @@ object Queries {
                       CAST(inter AS DOUBLE)/(nc.n + ni.n - inter) AS jac
                FROM i JOIN nc ON nc.doc_id = corpus_id JOIN ni ON ni.doc_id = incoming_id)
          SELECT corpus_id, incoming_id, round(jac, 3) AS jaccard_3dp
-         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2""",
+    "q46_prune_list" ->
+      // drop everything above the group's min PRESENT id; single-member
+      // groups have no pairs and are never dropped (q36's robustness notes)
+      """SELECT doc_id AS drop_id,
+                min(doc_id) OVER (PARTITION BY doc_id // 4) AS keep_id
+         FROM documents
+         QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1
+            AND doc_id > min(doc_id) OVER (PARTITION BY doc_id // 4)
+         ORDER BY 1"""
   )
 }

@@ -294,6 +294,18 @@ object Dedup {
     labels
   }
 
+  /** Turn verified near-dup pairs into the DROP decision — the step a
+    * curation pipeline actually executes: per duplicate group (connected
+    * component), keep the canonical member (min id) and list every other
+    * member as (drop_id, keep_id). Pure pair-list work on top of
+    * [[components]]; anti-joining drop_id against the corpus is the
+    * caller's one-line finish.
+    */
+  def pruneList(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20): DataFrame =
+    components(pairs, idA, idB, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"), col("component").as("keep_id"))
+
   /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
     * exact cosine verification ≥ threshold.
     */
