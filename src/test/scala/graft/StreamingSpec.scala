@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     assert(log.head.get.sequence == seqBefore)
   }
 
+  test("streaming dedup gate: cross-batch pairs, exactly-once signatures on replay, ledger survives checkpoint") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.table.SnapshotLog
+    val sigLog = new SnapshotLog(
+      Files.createTempDirectory("graft_sdedup").toString, spark.sparkContext.hadoopConfiguration)
+    def doc(i: Long) = {
+      val rnd = new scala.util.Random(i * 2654435761L)
+      (i, (0 until 40).map(_ => f"w${rnd.nextInt(5000)}%04d").mkString(" "))
+    }
+    val b1 = (0L until 8L).map(doc).toDF("doc_id", "text")
+    val b2 = Seq((100L, doc(2L)._2 + " xx"), doc(200L)).toDF("doc_id", "text")
+
+    var pairs = Vector.empty[Set[(Long, Long)]]
+    def run(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingDedup.processAndCommit(sigLog, df, id)(p =>
+        pairs :+= p.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet)
+
+    assert(run(b1, 0L).isDefined)
+    assert(run(b2, 1L).isDefined)
+    assert(pairs == Vector(Set.empty, Set((2L, 100L))), pairs.toString)
+    // replay of a committed micro-batch: no pairs re-delivered, no commit
+    assert(run(b2, 1L).isEmpty && pairs.length == 2)
+    assert(sigLog.readTable(spark, sigLog.head.get, StreamingDedup.SigTable).count() == 10)
+    // the ledger rides a checkpoint squash, same as the validation gate
+    sigLog.checkpoint(sigLog.head.get)
+    assert(run(b1, 0L).isEmpty)
+    assert(run(b2.filter(col("doc_id") === 200L), 2L).isDefined) // fresh batch still commits
+    assert(sigLog.readTable(spark, sigLog.head.get, StreamingDedup.SigTable).count() == 11)
+  }
+
   test("watermarked windowed counts over an event stream") {
     val src = Files.createTempDirectory("graft_stream_ev").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode("overwrite").parquet(src)
