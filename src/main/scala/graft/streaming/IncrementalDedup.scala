@@ -67,36 +67,41 @@ final class IncrementalDedup(
     */
   def step(spark: SparkSession, maxCommits: Int = Int.MaxValue)(onPairs: DataFrame => Unit): Long =
     follower.poll(spark, maxCommits) { (delta, from, to) =>
-      val dir = sigLog.dataDir(f"dedupsigs-$from%08d-$to%08d", SigTable)
-      Dedup.minhashSignatures(delta, idCol, textCol, shingleK, numHashes, numBands)
-        .write.mode("overwrite").parquet(dir)
-      val sliceSigs = spark.read.parquet(dir)
-      val head = sigLog.head
-      val corpusSigs = head
-        .filter(m => sigLog.tablePaths(m, SigTable).nonEmpty)
-        .map(m => sigLog.readTable(spark, m, SigTable))
-        .getOrElse(sliceSigs.limit(0)) // first slice: empty corpus, zero pairs
-      onPairs(
-        Dedup.minhashPairsAgainstSignatures(corpusSigs, sliceSigs, threshold, maxBucket)
-          .filter(org.apache.spark.sql.functions.col("corpus_id") =!=
-            org.apache.spark.sql.functions.col("incoming_id")))
+      val liveSigs = Dedup.minhashSignatures(delta, idCol, textCol, shingleK, numHashes, numBands)
       // Row-less slices (the producer's checkpoint/compaction commits fall
-      // inside poll ranges but add no documents) store nothing — idle polls
-      // must not grow the signature chain with empty manifests.
-      if (!sliceSigs.isEmpty && !head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
-        sigLog.commit(Manifest(
-          snapshotId = "", sequence = 0L, // assigned by commit
-          parentId = head.map(_.snapshotId),
-          constraintVersion = head.map(_.constraintVersion).getOrElse("dedup-sigs/1"),
-          partitionSpec = head.map(_.partitionSpec).getOrElse("incremental"),
-          partitionsDelta = Seq.empty,
-          complete = false,
-          tables = Map(SigTable -> Seq(dir)),
-          metrics = head.map(_.metrics).getOrElse(Map.empty), // cumulative maps carry forward
-          sketches = head.map(_.sketches).getOrElse(Map.empty),
-          createdAtMs = System.currentTimeMillis(),
-          tableSchemas = Map(SigTable -> sliceSigs.schema.json)
-        ))
+      // inside poll ranges but add no documents) write and commit NOTHING —
+      // idle polls must grow neither the signature chain nor the data dir.
+      if (liveSigs.isEmpty)
+        onPairs(Dedup.minhashPairsAgainstSignatures(liveSigs, liveSigs, threshold, maxBucket)
+          .limit(0)) // empty pair frame, real schema — the callback contract holds
+      else {
+        val dir = sigLog.dataDir(f"dedupsigs-$from%08d-$to%08d", SigTable)
+        liveSigs.write.mode("overwrite").parquet(dir)
+        val sliceSigs = spark.read.parquet(dir)
+        val head = sigLog.head
+        val corpusSigs = head
+          .filter(m => sigLog.tablePaths(m, SigTable).nonEmpty)
+          .map(m => sigLog.readTable(spark, m, SigTable))
+          .getOrElse(sliceSigs.limit(0)) // first slice: empty corpus, zero pairs
+        onPairs(
+          Dedup.minhashPairsAgainstSignatures(corpusSigs, sliceSigs, threshold, maxBucket)
+            .filter(org.apache.spark.sql.functions.col("corpus_id") =!=
+              org.apache.spark.sql.functions.col("incoming_id")))
+        if (!head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
+          sigLog.commit(Manifest(
+            snapshotId = "", sequence = 0L, // assigned by commit
+            parentId = head.map(_.snapshotId),
+            constraintVersion = head.map(_.constraintVersion).getOrElse("dedup-sigs/1"),
+            partitionSpec = head.map(_.partitionSpec).getOrElse("incremental"),
+            partitionsDelta = Seq.empty,
+            complete = false,
+            tables = Map(SigTable -> Seq(dir)),
+            metrics = head.map(_.metrics).getOrElse(Map.empty), // cumulative maps carry forward
+            sketches = head.map(_.sketches).getOrElse(Map.empty),
+            createdAtMs = System.currentTimeMillis(),
+            tableSchemas = Map(SigTable -> sliceSigs.schema.json)
+          ))
+      }
       ()
     }
 }
