@@ -747,6 +747,24 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q42 with a freshness window: matches staler than 24h are nulled —
+    * the NEAREST match is gated, never replaced by an older one
+    * (merge_asof tolerance semantics). Oracle: DuckDB ASOF LEFT JOIN with
+    * the gate as a post-CASE on the matched row — semantically identical
+    * because both sides agree on which row is nearest.
+    */
+  def q47AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "pts",
+      tolerance = Some(expr("INTERVAL 24 HOURS")))
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
   /** JSON intake with the reference's parse-before-validate triage: the
     * event body is decoded in one `from_json` projection; malformed rows
     * (every 17th, corrupted by a prepended byte) surface as `parse_error`
@@ -822,7 +840,8 @@ object Queries {
     "q43_json_intake" -> (q43JsonIntake _),
     "q44_incremental_near_dup" -> (q44IncrementalNearDup _),
     "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _),
-    "q46_prune_list" -> (q46PruneList _)
+    "q46_prune_list" -> (q46PruneList _),
+    "q47_asof_tolerance" -> (q47AsofTolerance _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1201,6 +1220,16 @@ object Queries {
          FROM documents
          QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1
             AND doc_id > min(doc_id) OVER (PARTITION BY doc_id // 4)
+         ORDER BY 1""",
+    "q47_asof_tolerance" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id,
+                CASE WHEN c.ts - p.pts <= INTERVAL 24 HOURS THEN p.purchase_id END AS purchase_id,
+                CASE WHEN c.ts - p.pts <= INTERVAL 24 HOURS THEN p.pts END AS purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
          ORDER BY 1"""
   )
 }
