@@ -122,4 +122,41 @@ object EngineProps extends Properties("engine") {
       val inputIds = distinctRows.flatMap(r => Option(r.image_id)).toSet
       validIds.intersect(vioIds).isEmpty && validIds.union(vioIds) == inputIds
     }
+
+  // --- JSON intake: every body is either parsed or corrupt, never both ----
+
+  private val bodyGen: Gen[(String, Option[(Long, String)])] = for {
+    id <- Gen.chooseNum(0L, 1000000L)
+    kind <- Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString) // escape-free payload
+    shape <- Gen.frequency(
+      5 -> Gen.const("ok"), 2 -> Gen.const("prefix"), 1 -> Gen.const("truncated"),
+      1 -> Gen.const("garbage"), 1 -> Gen.const("null"))
+  } yield {
+    val json = s"""{"id":$id,"kind":"$kind"}"""
+    shape match {
+      case "ok"        => (json, Some((id, kind)))
+      case "prefix"    => ("x" + json, None)
+      case "truncated" => (json.dropRight(2), None)
+      case "garbage"   => ("][not json at all", None)
+      case _           => (null, None)
+    }
+  }
+
+  property("json intake: parsed XOR corrupt; parsed rows round-trip their fields exactly") =
+    Prop.forAll(Gen.listOfN(25, bodyGen)) { cases =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(StructField("id", LongType), StructField("kind", StringType)))
+      val out = graft.sources.JsonIntake
+        .parse(cases.map(_._1).toDF("body"), "body", schema)
+        .select("id", "kind", graft.sources.JsonIntake.CorruptCol)
+        .as[(Option[Long], Option[String], Option[String])].collect().toSeq
+      out.zip(cases).forall { case ((gotId, gotKind, corrupt), (body, expected)) =>
+        expected match {
+          case Some((id, kind)) => // valid body: exact round-trip, not corrupt
+            gotId.contains(id) && gotKind.contains(kind) && corrupt.isEmpty
+          case None => // malformed/null body: corrupt with the raw payload, fields null
+            gotId.isEmpty && gotKind.isEmpty && corrupt.contains(Option(body).getOrElse(""))
+        }
+      }
+    }
 }
