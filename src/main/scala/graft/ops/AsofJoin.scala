@@ -61,6 +61,8 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val overlap = payloadCols.toSet.intersect(leftCols.toSet)
     require(overlap.isEmpty, s"right payload columns collide with left columns: $overlap — rename before joining")
+    val reserved = Set("_t", "_side", "_payload", "_matched").intersect((leftCols ++ right.columns).toSet)
+    require(reserved.isEmpty, s"asof join reserves working columns $reserved — rename before joining")
 
     val l = left
       .withColumn("_t", col(leftTime))

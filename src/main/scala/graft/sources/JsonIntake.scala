@@ -37,6 +37,8 @@ object JsonIntake {
     */
   def parse(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol), s"schema may not already contain $CorruptCol")
+    require(!df.columns.contains(CorruptCol) && !df.columns.contains("_parsed"),
+      s"input frame may not already contain $CorruptCol or _parsed")
     val withCorrupt = StructType(schema.fields :+ StructField(CorruptCol, StringType))
     val parsed = from_json(
       col(jsonCol),
