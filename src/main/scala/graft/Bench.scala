@@ -200,6 +200,7 @@ object Bench {
       else {
         val dir = s"/tmp/graft_bench/lsh100_$sfName"
         graft.gen.ScaledData.materializeDocuments(s, sfDir, dir, replicas = 100)
+        graft.gen.ScaledData.materializeEmbeddings(s, sfDir, dir, replicas = 100)
         val lastObserved = new java.util.concurrent.atomic.AtomicLong(-1L)
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
@@ -209,10 +210,11 @@ object Bench {
           override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
         }
         s.listenerManager.register(listener)
-        // q45 rides along: its corpus is 100× but the arriving batch stays
-        // fixed — incremental dedup must stay FLAT here, not linear
+        // q44/q45 ride along: their corpus is 100× but the arriving batch
+        // stays fixed — incremental dedup must stay FLAT here, not linear
         val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
-          "q35_phash_near_dup", "q36_dedup_components", "q45_incremental_text_dedup").map { name =>
+          "q35_phash_near_dup", "q36_dedup_components",
+          "q44_incremental_near_dup", "q45_incremental_text_dedup").map { name =>
           lastObserved.set(-1L)
           val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(s, dir).count() }

@@ -119,8 +119,8 @@ object ScaledData {
   }
 
   /** Documents-ONLY scale-up for the 100×-pair-mass LSH stress sweep: the
-    * LSH family (q20/q21/q22/q35/q36) reads nothing else, and 100× of the
-    * fact tables would waste sandbox disk for no measurement.
+    * LSH family (q20/q21/q22/q35/q36/q45) reads nothing else, and 100× of
+    * the fact tables would waste sandbox disk for no measurement.
     */
   def materializeDocuments(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALED_DOCS")
@@ -128,6 +128,37 @@ object ScaledData {
     new java.io.File(outDir).mkdirs()
     scaledDocuments(spark, srcDir, replicas)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    marker.createNewFile()
+    ()
+  }
+
+  /** Embeddings-ONLY scale-up (same perturb+renormalize scheme as
+    * [[materialize]]) — the embedding half of the 100× stress (q44).
+    */
+  def materializeEmbeddings(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALED_EMBS")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val vecOff = embs.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    def perturbed(r: Int): DataFrame =
+      if (r == 0) embs
+      else {
+        val noisy = transform(
+          col("embedding"),
+          (x, i) =>
+            x + lit(0.15f) * ((pmod(xxhash64(col("vec_id"), lit(r), i), lit(1000)).cast("float") / 500f) - 1f)
+        )
+        val nrm = sqrt(aggregate(noisy, lit(0.0), (a, v) => a + v * v))
+        embs.withColumn(
+          "embedding",
+          transform(noisy, x => (x / when(nrm === 0, 1.0).otherwise(nrm)).cast("float"))
+        )
+      }
+    (0 until replicas)
+      .map(r => perturbed(r).withColumn("vec_id", col("vec_id") + lit(r * vecOff)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     marker.createNewFile()
     ()
   }
