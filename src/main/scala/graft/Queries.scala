@@ -841,7 +841,8 @@ object Queries {
     "q44_incremental_near_dup" -> (q44IncrementalNearDup _),
     "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _),
     "q46_prune_list" -> (q46PruneList _),
-    "q47_asof_tolerance" -> (q47AsofTolerance _)
+    "q47_asof_tolerance" -> (q47AsofTolerance _),
+    "q20_minhash_dedup" -> (qMinhashDedup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -853,7 +854,6 @@ object Queries {
     "img_features" -> ((s, _) => imgFeatures(s)),
     "img_near_dup" -> ((s, _) => imgNearDup(s)),
     "img_maintenance" -> ((s, _) => imgMaintenance(s)),
-    "q20_minhash_dedup" -> (qMinhashDedup _),
     "q21_simhash_dedup" -> (qSimhashDedup _),
     "q26_ann_ivf" -> (qAnnIvf _)
   )
@@ -1230,6 +1230,24 @@ object Queries {
                 CASE WHEN c.ts - p.pts <= INTERVAL 24 HOURS THEN p.purchase_id END AS purchase_id,
                 CASE WHEN c.ts - p.pts <= INTERVAL 24 HOURS THEN p.pts END AS purchase_ts
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "q20_minhash_dedup" ->
+      // Exhaustive 5-gram Jaccard twin (round-4 follow-on to q22's move):
+      // measured at both scales, every true pair ≥ 0.8 sits at j ≥ 0.93
+      // (zero mass in [0.7, 0.9)), where 16-band/4-row recall is
+      // deterministic (miss prob ≈ 2.6e-10 per pair).
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                         UNION ALL
+                         SELECT doc_id + 1000000 AS doc_id, text || ' xq' AS text
+                         FROM documents WHERE doc_id < 20),
+         g AS (SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+               FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS gs) s),
+         n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM g a JOIN g b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jac
+               FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b)
+         SELECT id_a, id_b, round(jac, 3) AS jaccard_3dp
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
   )
 }
