@@ -34,9 +34,9 @@ import graft.table.{Manifest, SnapshotLog}
   * cursor — clean replay. A crash between the signature commit and the
   * cursor write replays the slice: the slice's DETERMINISTIC dir tag
   * makes the rewrite overwrite itself, a path already present in the
-  * chain is not committed twice, and self-pairs (a replayed slice meeting
-  * its own already-stored signatures) are filtered on id equality — the
-  * replay re-delivers exactly the original pairs.
+  * chain is not committed twice, and the slice's own already-stored
+  * signatures are anti-joined out of the corpus side — the replay
+  * re-delivers exactly the original pairs.
   *
   * Intra-slice duplicates are the caller's compose-step
   * ([[Dedup.minhashPairs]] on the slice) — this loop owns the
@@ -67,41 +67,56 @@ final class IncrementalDedup(
     */
   def step(spark: SparkSession, maxCommits: Int = Int.MaxValue)(onPairs: DataFrame => Unit): Long =
     follower.poll(spark, maxCommits) { (delta, from, to) =>
-      val liveSigs = Dedup.minhashSignatures(delta, idCol, textCol, shingleK, numHashes, numBands)
-      // Row-less slices (the producer's checkpoint/compaction commits fall
-      // inside poll ranges but add no documents) write and commit NOTHING —
-      // idle polls must grow neither the signature chain nor the data dir.
-      if (liveSigs.isEmpty)
-        onPairs(Dedup.minhashPairsAgainstSignatures(liveSigs, liveSigs, threshold, maxBucket)
-          .limit(0)) // empty pair frame, real schema — the callback contract holds
-      else {
-        val dir = sigLog.dataDir(f"dedupsigs-$from%08d-$to%08d", SigTable)
-        liveSigs.write.mode("overwrite").parquet(dir)
-        val sliceSigs = spark.read.parquet(dir)
-        val head = sigLog.head
-        val corpusSigs = head
-          .filter(m => sigLog.tablePaths(m, SigTable).nonEmpty)
-          .map(m => sigLog.readTable(spark, m, SigTable))
-          .getOrElse(sliceSigs.limit(0)) // first slice: empty corpus, zero pairs
-        onPairs(
-          Dedup.minhashPairsAgainstSignatures(corpusSigs, sliceSigs, threshold, maxBucket)
-            .filter(org.apache.spark.sql.functions.col("corpus_id") =!=
-              org.apache.spark.sql.functions.col("incoming_id")))
-        if (!head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
-          sigLog.commit(Manifest(
-            snapshotId = "", sequence = 0L, // assigned by commit
-            parentId = head.map(_.snapshotId),
-            constraintVersion = head.map(_.constraintVersion).getOrElse("dedup-sigs/1"),
-            partitionSpec = head.map(_.partitionSpec).getOrElse("incremental"),
-            partitionsDelta = Seq.empty,
-            complete = false,
-            tables = Map(SigTable -> Seq(dir)),
-            metrics = head.map(_.metrics).getOrElse(Map.empty), // cumulative maps carry forward
-            sketches = head.map(_.sketches).getOrElse(Map.empty),
-            createdAtMs = System.currentTimeMillis(),
-            tableSchemas = Map(SigTable -> sliceSigs.schema.json)
-          ))
-      }
+      val sliceSigs = Dedup.minhashSignatures(delta, idCol, textCol, shingleK, numHashes, numBands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Row-less slices (the producer's checkpoint/compaction commits
+        // fall inside poll ranges but add no documents) write and commit
+        // NOTHING — idle polls grow neither the signature chain nor disk.
+        if (sliceSigs.isEmpty)
+          onPairs(Dedup.minhashPairsAgainstSignatures(sliceSigs, sliceSigs, threshold, maxBucket)
+            .limit(0)) // empty pair frame, real schema — the callback contract holds
+        else {
+          val head = sigLog.head
+          val storeSigs = head
+            .filter(m => sigLog.tablePaths(m, SigTable).nonEmpty)
+            .map(m => sigLog.readTable(spark, m, SigTable))
+          // A replayed slice (crash between sig-commit and cursor write)
+          // finds its OWN signatures already stored; excluding the slice's
+          // ids from the corpus side makes the replay re-deliver EXACTLY
+          // the original pairs — same-slice relations stay the caller's
+          // intra-batch step on replay too, not a replay leak.
+          val corpusSigs = storeSigs
+            .map(_.join(sliceSigs.select("id"), Seq("id"), "left_anti"))
+            .getOrElse(sliceSigs.limit(0)) // first slice: empty corpus, zero pairs
+          onPairs(Dedup.minhashPairsAgainstSignatures(corpusSigs, sliceSigs, threshold, maxBucket))
+          // Store only ids the chain does not already hold: a replayed
+          // slice whose boundary EXTENDED past the original (new commits
+          // landed before the retry) appends just the genuinely new docs —
+          // the signature table never double-counts under any replay shape.
+          val newSigs = storeSigs
+            .map(sf => sliceSigs.join(sf.select("id"), Seq("id"), "left_anti"))
+            .getOrElse(sliceSigs)
+          if (!newSigs.isEmpty) {
+            val dir = sigLog.dataDir(f"dedupsigs-$from%08d-$to%08d", SigTable)
+            newSigs.write.mode("overwrite").parquet(dir)
+            if (!head.exists(m => sigLog.tablePaths(m, SigTable).contains(dir)))
+              sigLog.commit(Manifest(
+                snapshotId = "", sequence = 0L, // assigned by commit
+                parentId = head.map(_.snapshotId),
+                constraintVersion = head.map(_.constraintVersion).getOrElse("dedup-sigs/1"),
+                partitionSpec = head.map(_.partitionSpec).getOrElse("incremental"),
+                partitionsDelta = Seq.empty,
+                complete = false,
+                tables = Map(SigTable -> Seq(dir)),
+                metrics = head.map(_.metrics).getOrElse(Map.empty), // cumulative maps carry forward
+                sketches = head.map(_.sketches).getOrElse(Map.empty),
+                createdAtMs = System.currentTimeMillis(),
+                tableSchemas = Map(SigTable -> newSigs.schema.json)
+              ))
+          }
+        }
+      } finally sliceSigs.unpersist()
       ()
     }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 
 import graft.ops.Dedup
 import graft.table.{Manifest, SnapshotLog}
@@ -27,7 +26,10 @@ object StreamingDedup {
   /** Returns the committed manifest, or None when the batch was empty or
     * already committed (replay). `onPairs` runs BEFORE the commit, so a
     * crash inside it replays the batch cleanly (pair delivery is
-    * at-least-once; storage is exactly-once-visible).
+    * at-least-once; storage is exactly-once-visible). A caller that needs
+    * the pairs DURABLY must persist them inside `onPairs` — once the
+    * commit lands, a replayed batch is skipped and its pairs are not
+    * re-derived (the standard foreachBatch discipline).
     */
   def processAndCommit(
       sigLog: SnapshotLog,
@@ -53,11 +55,13 @@ object StreamingDedup {
     val batchSigs = spark.read.parquet(dir)
     val corpusSigs = head
       .filter(m => sigLog.tablePaths(m, SigTable).nonEmpty)
-      .map(m => sigLog.readTable(spark, m, SigTable))
+      .map(m => sigLog.readTable(spark, m, SigTable)
+        // exclude the batch's own ids: a crash-replayed batch whose commit
+        // raced ahead of the checkpoint re-delivers exactly its original
+        // pairs instead of leaking intra-batch relations
+        .join(batchSigs.select("id"), Seq("id"), "left_anti"))
       .getOrElse(batchSigs.limit(0))
-    onPairs(
-      Dedup.minhashPairsAgainstSignatures(corpusSigs, batchSigs, threshold, maxBucket)
-        .filter(col("corpus_id") =!= col("incoming_id")))
+    onPairs(Dedup.minhashPairsAgainstSignatures(corpusSigs, batchSigs, threshold, maxBucket))
     Some(sigLog.commit(Manifest(
       snapshotId = "", sequence = 0L, // assigned by commit
       parentId = head.map(_.snapshotId),

@@ -448,6 +448,94 @@ class MaintenanceSpec extends SparkSpec {
     assert(dedup.step(spark)(_ => fail("caught up")) == 0L)
   }
 
+  test("IncrementalDedup randomized interleavings ≡ slice-aware model (commits, bounded steps, cursor crashes)") {
+    import graft.streaming.IncrementalDedup
+    import graft.table.Manifest
+    import spark.implicits._
+    for (seed <- Seq(41, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val log = newLog()
+      val sigLog = newLog()
+      val cursorDir = Files.createTempDirectory(s"graft_incmodel$seed").toString
+      val dedup = new IncrementalDedup(log, sigLog, "documents", "doc_id", "text",
+        cursorDir, spark.sparkContext.hadoopConfiguration)
+
+      def freshText(i: Long) = {
+        val r = new scala.util.Random(i * 7919 + seed)
+        (0 until 40).map(_ => f"w${r.nextInt(5000)}%04d").mkString(" ")
+      }
+      var nextId = 0L
+      var family = Map.empty[Long, Long] // doc -> family root
+      var batchOf = Map.empty[Long, Int] // doc -> commit index (1-based sequence in docLog)
+      var committed = 0
+      def commitBatch(): Unit = {
+        committed += 1
+        val fresh = { val id = nextId; nextId += 1; family += id -> id; (id, freshText(id)) }
+        // ~60%: also plant a near-copy of a random earlier doc (copies of
+        // one root are mutually near-dup — a clique across batches)
+        val planted =
+          if (family.size > 1 && rnd.nextInt(10) < 6) {
+            val src = family.keys.toSeq.sorted.apply(rnd.nextInt(family.size - 1))
+            val id = nextId; nextId += 1; family += id -> family(src)
+            Seq((id, freshText(family(id)) + s" q$committed"))
+          } else Seq.empty
+        val rows = Seq(fresh) ++ planted
+        rows.foreach { case (id, _) => batchOf += id -> committed }
+        val dir = log.dataDir(s"docs-m$committed", "documents")
+        val df = rows.toDF("doc_id", "text")
+        df.write.mode("overwrite").parquet(dir)
+        val h = log.head
+        log.commit(Manifest("", 0L, h.map(_.snapshotId), "docs/1", "b", Seq.empty, false,
+          Map("documents" -> Seq(dir)), h.map(_.metrics).getOrElse(Map.empty), Map.empty,
+          System.currentTimeMillis(), tableSchemas = Map("documents" -> df.schema.json)))
+      }
+
+      var stored = Set.empty[Long] // docs whose signatures are in the store
+      var expected = Set.empty[(Long, Long)]
+      var delivered = Set.empty[(Long, Long)]
+      var consumedSeq = 0L // model cursor (doc-commit count consumed)
+      var lastSliceStart = 0L // for the crash model: the one cursor write that can be lost
+      def runStep(maxCommits: Int): Unit = {
+        val advanced = dedup.step(spark, maxCommits)(df =>
+          delivered ++= df.select("corpus_id", "incoming_id").as[(Long, Long)].collect())
+        if (advanced > 0) {
+          val sliceEnd = consumedSeq + advanced
+          val slice = batchOf.collect { case (id, b) if b > consumedSeq && b <= sliceEnd => id }.toSet
+          // cross-side only: slice docs pair with family members stored by
+          // EARLIER slices — never each other, and (on replay) never the
+          // slice's own persisted signatures
+          expected ++= slice.flatMap(i => (stored -- slice).filter(c => family(c) == family(i)).map(c => (c, i)))
+          stored ++= slice
+          lastSliceStart = consumedSeq
+          consumedSeq = sliceEnd
+        }
+      }
+
+      (0 until 30).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => commitBatch()
+          case 2     => runStep(1 + rnd.nextInt(3))
+          case 3 => // crash: the LAST cursor write is lost (the real window);
+            // the slice replays against its own persisted signatures
+            val fs = new org.apache.hadoop.fs.Path(cursorDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val p = new org.apache.hadoop.fs.Path(cursorDir, "cursor-documents.txt")
+            if (fs.exists(p) && consumedSeq > lastSliceStart) {
+              val out = fs.create(p, true); out.write(lastSliceStart.toString.getBytes); out.close()
+              consumedSeq = lastSliceStart // replay: stored set unchanged, model unchanged
+            }
+          case _ => runStep(Int.MaxValue)
+        }
+      }
+      while ({ val before = consumedSeq; runStep(Int.MaxValue); consumedSeq != before }) ()
+
+      assert(delivered == expected,
+        s"seed $seed: delivered ${delivered.toSeq.sorted} != expected ${expected.toSeq.sorted}")
+      if (stored.nonEmpty)
+        assert(sigLog.readTable(spark, sigLog.head.get, dedup.SigTable).count() == nextId,
+          s"seed $seed: signature table must hold every ingested doc exactly once")
+    }
+  }
+
   test("rollbackTo undoes a bad batch: reads, resume, ledger, and reclamation all revert") {
     val log = newLog()
     new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1).run(inputFor, Seq(0, 1))
