@@ -765,6 +765,21 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: each purchase joined to the user's NEXT click at or
+    * after it (post-purchase engagement) — the mirror of q42, oracled by
+    * DuckDB's `ASOF LEFT JOIN ... ON l.ts <= r.ts`.
+    */
+  def q48AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+    ops.AsofJoin.forward(purchases, clicks, Seq("user_id"), "ts", "cts")
+      .select(col("event_id"), col("click_id"), col("cts").as("next_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** JSON intake with the reference's parse-before-validate triage: the
     * event body is decoded in one `from_json` projection; malformed rows
     * (every 17th, corrupted by a prepended byte) surface as `parse_error`
@@ -842,7 +857,8 @@ object Queries {
     "q45_incremental_text_dedup" -> (q45IncrementalTextDedup _),
     "q46_prune_list" -> (q46PruneList _),
     "q47_asof_tolerance" -> (q47AsofTolerance _),
-    "q20_minhash_dedup" -> (qMinhashDedup _)
+    "q20_minhash_dedup" -> (qMinhashDedup _),
+    "q48_asof_forward" -> (q48AsofForward _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1248,6 +1264,14 @@ object Queries {
          j AS (SELECT id_a, id_b, CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jac
                FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b)
          SELECT id_a, id_b, round(jac, 3) AS jaccard_3dp
-         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2""",
+    "q48_asof_forward" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+               FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, c.click_id, c.cts AS next_click_ts
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.cts
+         ORDER BY 1"""
   )
 }

@@ -41,6 +41,27 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Forward as-of: for each left row, the right row with the SMALLEST
+    * right time ≥ the left row's time per key ("the next config snapshot
+    * AFTER this event"). Same union + keyed running shape as [[backward]],
+    * mirrored: sort ascending, carry the payload BACKWARD with
+    * `first(_, ignoreNulls)` over currentRow..unboundedFollowing, left
+    * rows sorting BEFORE right rows at equal time so an at-instant right
+    * row matches (≥ semantics, DuckDB `ASOF ... ON l.t <= r.t`).
+    * `tolerance` bounds the wait: matches farther than
+    * `rightTime - leftTime > tolerance` are nulled, never replaced by a
+    * later row.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None
+  ): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = true)
+
   /** @param tolerance optional max staleness: a match is kept only when
     *   `leftTime - rightTime <= tolerance` (e.g. `expr("INTERVAL 7 DAYS")`
     *   for timestamps, `lit(30L)` for numeric times). The nearest-prior row
@@ -55,6 +76,17 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tolerance: Option[Column] = None
+  ): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = false)
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column],
+      forwardDir: Boolean
   ): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
@@ -64,17 +96,21 @@ object AsofJoin {
     val reserved = Set("_t", "_side", "_payload", "_matched").intersect((leftCols ++ right.columns).toSet)
     require(reserved.isEmpty, s"asof join reserves working columns $reserved — rename before joining")
 
+    // At equal time the matching right row must fall INSIDE the left row's
+    // frame: backward (preceding..current) puts rights first; forward
+    // (current..following) puts them after.
+    val (leftMark, rightMark) = if (forwardDir) (0, 1) else (1, 0)
     val l = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftMark))
       .withColumn("_payload",
         // a NULL struct (not a struct of nulls): ignoreNulls must skip
-        // left rows entirely when carrying the last right payload forward
+        // left rows entirely when carrying the right payload across
         when(lit(false), struct(payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)))
     val r = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightMark))
       .withColumn("_payload", struct(payloadCols.map(col): _*))
       .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_payload")): _*)
 
@@ -83,19 +119,26 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
+    val carried = (
+      if (forwardDir)
+        unioned.withColumn("_matched",
+          first(col("_payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        unioned.withColumn("_matched",
+          last(col("_payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ).filter(col("_side") === leftMark)
     val gated = tolerance match {
       case None => carried
       case Some(tol) =>
-        // too-stale nearest match → no match (null struct), not an older row
-        carried.withColumn("_matched",
-          when(col(leftTime) - col(s"_matched.`$rightTime`") <= tol, col("_matched")))
+        // a too-distant nearest match → no match (null struct), never a
+        // farther row
+        val distance =
+          if (forwardDir) col(s"_matched.`$rightTime`") - col(leftTime)
+          else col(leftTime) - col(s"_matched.`$rightTime`")
+        carried.withColumn("_matched", when(distance <= tol, col("_matched")))
     }
     gated.select(leftCols.map(col) ++ payloadCols.map(c => col(s"_matched.`$c`").as(c)): _*)
   }

@@ -434,6 +434,14 @@ class OpsSpec extends SparkSpec {
     assert(withTol(3L)(1L) == None) // 5 > 3 → stale, no fallback
     assert(withTol(3L)(2L) == Some(50L)) // exact-time match has staleness 0
     assert(withTol(200L)(4L) == Some(200L), "tolerance rejects by the MATCHED row's staleness (80), not the older one's")
+
+    // forward: smallest right ≥ left; equal-time matches; tolerance bounds the wait
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "t", "rt")
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(1L -> None, 2L -> Some(50L), 3L -> Some(50L), 4L -> None, 5L -> None, 6L -> None), fwd.toString)
+    val fwdTol = AsofJoin.forward(left, right, Seq("k"), "t", "rt", tolerance = Some(lit(0L)))
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(fwdTol(2L) == Some(50L) && fwdTol(3L) == None, "forward tolerance 0 keeps only at-instant matches")
   }
 
   test("asof backward ≡ driver-side reference over randomized data (incl. tolerance gating)") {
@@ -448,17 +456,18 @@ class OpsSpec extends SparkSpec {
     val L = leftRows.toDF("id", "k", "t")
     val R = rightRows.toDF("k", "rt", "p")
 
-    def reference(tol: Option[Long]): Map[Long, Option[Long]] = leftRows.map { case (id, k, t) =>
-      val prior = rightRows.filter(r => r._1 == k && r._2 <= t)
-      val best = if (prior.isEmpty) None else Some(prior.maxBy(_._2))
-      // tolerance gates the NEAREST match — it never falls back to older rows
-      id -> best.filter(b => tol.forall(x => t - b._2 <= x)).map(_._3)
+    def reference(tol: Option[Long], fwd: Boolean): Map[Long, Option[Long]] = leftRows.map { case (id, k, t) =>
+      val cand = rightRows.filter(r => r._1 == k && (if (fwd) r._2 >= t else r._2 <= t))
+      val best = if (cand.isEmpty) None else Some(if (fwd) cand.minBy(_._2) else cand.maxBy(_._2))
+      // tolerance gates the NEAREST match — it never falls to farther rows
+      id -> best.filter(b => tol.forall(x => (if (fwd) b._2 - t else t - b._2) <= x)).map(_._3)
     }.toMap
 
-    for (tol <- Seq(None, Some(5L), Some(0L))) {
-      val got = AsofJoin.backward(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
+    for (tol <- Seq(None, Some(5L), Some(0L)); fwd <- Seq(false, true)) {
+      val join = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
+      val got = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
-      assert(got == reference(tol), s"asof mismatch at tolerance $tol")
+      assert(got == reference(tol, fwd), s"asof mismatch at tolerance $tol forward=$fwd")
     }
   }
 
