@@ -25,8 +25,17 @@ import graft.table.{Manifest, SnapshotLog}
   * outside the producer's directory.
   *
   * Per-step cost at 10^12 ingested rows: shingle the SLICE + one join
-  * against the signature table — never a corpus re-scan (BASELINE.md
-  * §3.2d measures the flat-at-10×-corpus shape).
+  * against the signature table — the corpus is never re-shingled and its
+  * SCAN is pruned, not paid in full: the band-key join's build side (the
+  * slice) is small, so Spark's runtime bloom-filter injection
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, default ON, build
+  * side ≤ 10 MB / probe scan ≥ 10 GB — precisely this shape) pushes a
+  * might_contain(band_key) filter into the signature-table scan, skipping
+  * row groups wholesale. The further refinement at extreme scale is to
+  * range-cluster the stored signature table by band key during
+  * maintenance compaction so parquet min/max prunes files before the
+  * bloom filter sees them. BASELINE.md §3.2d/e measure the
+  * flat-at-10×/100×-corpus shape.
   *
   * Restart semantics (at-least-once pair delivery, exactly-once
   * signature storage): the cursor advances only after a fully successful
