@@ -17,7 +17,9 @@ import graft.table.{Manifest, SnapshotLog}
   * The pull-based [[IncrementalDedup]] covers the snapshot-log-to-
   * snapshot-log topology; this gate covers the Structured Streaming
   * topology (`writeStream.foreachBatch`), sharing the same per-batch cost
-  * shape: shingle the BATCH + one join against stored signatures.
+  * shape: shingle the BATCH + one join against stored signatures, with
+  * the signature-table scan bloom-pruned by the small batch side (see
+  * [[IncrementalDedup]]'s scaladoc for the 10^12-row store argument).
   */
 object StreamingDedup {
 
