@@ -317,6 +317,18 @@ class OpsSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(byId(i.toLong) == byId(i + 10000L), s"dup $i split across buckets"))
   }
 
+  test("adaptiveBuckets assignment is independent of input partitioning") {
+    // the quantizer's determinism claim: bucket ids are pure functions of
+    // content (hash-sampled seeds, argmax assignment) — reshuffling the
+    // input must not move a single row
+    val rnd = new scala.util.Random(19)
+    val data = (0 until 1500).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f))).toDF("id", "v")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      Dedup.adaptiveBuckets(df, targetClusterSize = 64, maxBucket = 300, coarseSeeds = 4)
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(buckets(data) == buckets(data.repartition(7)), "bucketing changed under repartition")
+  }
+
   test("adaptiveBuckets: a cell of >maxBucket EXACT duplicates is unsplittable and flows to the cap valve") {
     val mono = (0 until 600).map(i => (i.toLong, Seq.fill(16)(0.5f))).toDF("id", "v")
     val bucketed = Dedup.adaptiveBuckets(mono, targetClusterSize = 128, maxBucket = 500, coarseSeeds = 8).cache()

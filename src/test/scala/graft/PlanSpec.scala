@@ -131,6 +131,20 @@ class PlanSpec extends SparkSpec {
     assert(finalSection.contains("Window"), "running-last window missing")
   }
 
+  test("forward asof join shares the single-shuffle shape (no physical join operator)") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts")).agg(max("event_id").as("click_id"))
+    val joined = graft.ops.AsofJoin.forward(purchases, clicks, Seq("user_id"), "ts", "cts")
+    joined.collect()
+    val p = plan(joined).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") && !p.contains("NestedLoopJoin"),
+      s"forward asof must not plan a physical join:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, s"extra shuffles:\n${p.take(2000)}")
+    assert(p.contains("Window"), "running-first window missing")
+  }
+
   test("json intake parses inside whole-stage codegen with no shuffle before the aggregation") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
