@@ -418,6 +418,18 @@ object Queries {
     Dedup.pruneList(qPhashNearDup(s, dir))
       .orderBy("drop_id")
 
+  /** Quality-policy keeper selection: keep the highest-scored member per
+    * duplicate group (score = a deterministic spread of doc_id here; in a
+    * real pipeline, centroid distance or perplexity), ties to min id.
+    * Closed-form oracle over the q35 clique graph.
+    */
+  def q49PruneByScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scores = docs.select(col("doc_id"), (col("doc_id") * 37 % 11).as("score"))
+    Dedup.pruneListByScore(qPhashNearDup(s, dir), scores, "doc_id", "score")
+      .orderBy("drop_id")
+  }
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -858,7 +870,8 @@ object Queries {
     "q46_prune_list" -> (q46PruneList _),
     "q47_asof_tolerance" -> (q47AsofTolerance _),
     "q20_minhash_dedup" -> (qMinhashDedup _),
-    "q48_asof_forward" -> (q48AsofForward _)
+    "q48_asof_forward" -> (q48AsofForward _),
+    "q49_prune_by_score" -> (q49PruneByScore _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1272,6 +1285,17 @@ object Queries {
                FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.event_id, c.click_id, c.cts AS next_click_ts
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.cts
+         ORDER BY 1""",
+    "q49_prune_by_score" ->
+      // keeper = argmax (score, then min id) per present group; groups with
+      // one present member have no pairs and never reach the operator
+      """WITH s AS (SELECT doc_id, (doc_id * 37) % 11 AS score, doc_id // 4 AS grp FROM documents),
+         k AS (SELECT grp, doc_id AS keep_id,
+                      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY grp) AS n
+               FROM s)
+         SELECT s.doc_id AS drop_id, k.keep_id
+         FROM s JOIN k ON s.grp = k.grp AND k.rk = 1 AND k.n > 1 AND s.doc_id != k.keep_id
          ORDER BY 1"""
   )
 }

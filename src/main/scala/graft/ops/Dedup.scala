@@ -306,6 +306,33 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("drop_id"), col("component").as("keep_id"))
 
+  /** [[pruneList]] with a QUALITY policy: keep the member with the highest
+    * score per duplicate group (ties broken by min id — deterministic),
+    * drop the rest — the SemDeDup/CCNet-style decision ("keep the sample
+    * nearest the centroid / lowest perplexity") rather than min-id.
+    * `scores` maps every paired id to a score (idCol, scoreCol); ids
+    * missing a score rank below all scored members (never kept over a
+    * scored sibling). One window over the (small) component list.
+    */
+  def pruneListByScore(
+      pairs: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val comp = components(pairs, idA, idB, maxIter)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"), "left")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("_score").desc_nulls_last, col("id"))
+    comp
+      .withColumn("_keep", first(col("id")).over(w))
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as("drop_id"), col("_keep").as("keep_id"))
+  }
+
   /** Embedding near-duplicate pairs: random-hyperplane LSH bucket join +
     * exact cosine verification ≥ threshold.
     */

@@ -249,6 +249,16 @@ class OpsSpec extends SparkSpec {
     assert(found.size == 2, s"false positives: $found")
   }
 
+  test("pruneListByScore: highest score kept per group, ties to min id, unscored never beats scored") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    // group {1,2,3}: 2 has top score; group {10,11}: tie -> min id 10;
+    // group {20,21}: 21 unscored -> 20 kept despite lower id order reversal
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 4.0), (11L, 4.0), (20L, 1.0)).toDF("doc_id", "score")
+    val got = Dedup.pruneListByScore(pairs, scores, "doc_id", "score")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 2L, 11L -> 10L, 21L -> 20L), got.toString)
+  }
+
   test("incremental near-dup: cross-side pairs only; corpus self-dups never reported") {
     // corpus contains an INTERNAL dup pair (0 ≅ 90000) that must NOT
     // surface; incoming contains one exact copy of corpus row 1 and one
