@@ -306,6 +306,14 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("drop_id"), col("component").as("keep_id"))
 
+  /** The one-call finish: `df` minus the drop side of a prune list — the
+    * "give me the clean table" step (an anti-join on the id; broadcast-able
+    * whenever the drop list is small relative to the corpus, which near-dup
+    * drop lists are).
+    */
+  def applyPrune(df: DataFrame, idCol: String, prune: DataFrame): DataFrame =
+    df.join(prune.select(col("drop_id").as(idCol)), Seq(idCol), "left_anti")
+
   /** [[pruneList]] with a QUALITY policy: keep the member with the highest
     * score per duplicate group (ties broken by min id — deterministic),
     * drop the rest — the SemDeDup/CCNet-style decision ("keep the sample

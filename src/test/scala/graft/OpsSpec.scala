@@ -254,9 +254,13 @@ class OpsSpec extends SparkSpec {
     // group {1,2,3}: 2 has top score; group {10,11}: tie -> min id 10;
     // group {20,21}: 21 unscored -> 20 kept despite lower id order reversal
     val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 4.0), (11L, 4.0), (20L, 1.0)).toDF("doc_id", "score")
-    val got = Dedup.pruneListByScore(pairs, scores, "doc_id", "score")
-      .as[(Long, Long)].collect().toMap
+    val prune = Dedup.pruneListByScore(pairs, scores, "doc_id", "score")
+    val got = prune.as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 3L -> 2L, 11L -> 10L, 21L -> 20L), got.toString)
+    // the one-call finish: corpus minus the drop side, keepers + singletons survive
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 99L).toDF("doc_id")
+    val clean = Dedup.applyPrune(corpus, "doc_id", prune).as[Long].collect().toSet
+    assert(clean == Set(2L, 10L, 20L, 99L), clean.toString)
   }
 
   test("incremental near-dup: cross-side pairs only; corpus self-dups never reported") {
