@@ -130,11 +130,16 @@ object Verify {
     val reportPath = "/root/repo/CORRECTNESS_SELF.json"
     val pb = new ProcessBuilder("python3", script.getAbsolutePath, outDir, sfDir, reportPath)
     pb.redirectErrorStream(true)
+    // Child output goes to a FILE, not a pipe we read inline: readAllBytes()
+    // on the pipe would block until the child closes it, so the waitFor
+    // timeout below could never fire and a hung python3 would wedge Verify.
+    val logFile = new java.io.File(s"$outDir/_selfgrade.log")
+    pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))
     val p = pb.start()
     p.getOutputStream.close()
-    val log = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { p.destroyForcibly(); System.err.println("[verify] self-grade timed out"); return }
+    val log = try Files.readString(logFile.toPath) catch { case _: Throwable => "" }
     System.err.println(log.trim) // summary + any FAIL lines go to stderr; stdout stays machine-readable
     val report = Files.readString(Paths.get(reportPath))
     // Also park a copy next to the parquet dumps so the harvest of outDir

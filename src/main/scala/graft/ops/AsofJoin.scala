@@ -130,6 +130,13 @@ object AsofJoin {
           last(col("_payload"), ignoreNulls = true)
             .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     ).filter(col("_side") === leftMark)
+      // A null left time can never satisfy >= / <= against any right time,
+      // but ascending sort is NULLS FIRST: a null-time left row heads the
+      // partition, and in the forward direction its currentRow..following
+      // frame would contain EVERY right row of the key. Null the match for
+      // null-time left rows in both directions (backward's empty preceding
+      // frame already yields null; this makes the invariant explicit).
+      .withColumn("_matched", when(col(leftTime).isNotNull, col("_matched")))
     val gated = tolerance match {
       case None => carried
       case Some(tol) =>

@@ -512,11 +512,19 @@ object Dedup {
       .filter(pmod(col("hk"), t) === 0)
       .orderBy("hk").limit(coarseSeeds)
     val arr1 = s1.agg(sort_array(collect_list(struct(col("hk"), col("sv")))).as("_seeds"))
+    // Null-guard on the NEAREST-SEED expression, not on the final hash:
+    // xxhash64 skips null children and never returns null, so a
+    // coalesce(xxhash64(...), fallback) fallback would be dead code — a
+    // null nearest seed would silently hash to xxhash64(salt) instead of
+    // the documented "cell 0" / "keep the cell" behavior (and a row whose
+    // vector length matches no seed would part ways with its cellmates).
+    // WSCG subexpression elimination dedupes the doubled NearestSeedExpr.
+    val nearest1 = graft.functions.NearestSeedExpr(col("v"), col("_seeds"))
     var current = materializeSigs(
       base.crossJoin(broadcast(arr1))
         .select(col("id"), col("v"),
           // empty seed sample (n ≲ targetClusterSize) → everything in cell 0
-          coalesce(xxhash64(lit(1L), graft.functions.NearestSeedExpr(col("v"), col("_seeds"))), lit(0L))
+          when(nearest1.isNull, lit(0L)).otherwise(xxhash64(lit(1L), nearest1))
             .as("bucket")),
       "semdedup-1")
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -530,11 +538,21 @@ object Dedup {
       else {
         doneParts += current.join(broadcast(over), Seq("bucket"), "left_anti")
         val todo = current.join(broadcast(over), Seq("bucket"), "left_semi")
+        // Cap the per-cell sample BEFORE aggregating: a collect_list-then-
+        // slice would gather ALL sampled seeds of a mega-cell into one
+        // aggregation buffer (~n/coarseSeeds/targetClusterSize dim-d
+        // structs — gigabytes at n=10^9) before truncating. The rank
+        // filter reuses the same hash partitioning as the groupBy, keeps
+        // the smallest-hk seeds (identical to slice(sort_array) output),
+        // and bounds the buffer at O(maxSeedsPerCell·dim).
         val cellSeeds = todo
           .select(col("bucket"), xxhash64(col("id"), lit(round.toLong)).as("hk"), col("v").as("sv"))
           .filter(pmod(col("hk"), t) === 0)
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")).orderBy(col("hk"))))
+          .filter(col("_rn") <= maxSeedsPerCell)
           .groupBy("bucket")
-          .agg(slice(sort_array(collect_list(struct(col("hk"), col("sv")))), 1, maxSeedsPerCell).as("_seeds"))
+          .agg(sort_array(collect_list(struct(col("hk"), col("sv")))).as("_seeds"))
         // Early rounds have FEW oversized cells, each potentially huge
         // (round 2: ≤ coarseSeeds cells of up to n/coarseSeeds rows); a
         // shuffle join on `bucket` would hash a whole mega-cell onto one
@@ -545,12 +563,16 @@ object Dedup {
         // high bucket cardinality and small cells, where a plain join is
         // fine and a broadcast would no longer fit.
         val seedsSide = if (overCount <= 1024) broadcast(cellSeeds) else cellSeeds
+        val nearestR = graft.functions.NearestSeedExpr(col("v"), col("_seeds"))
         current = materializeSigs(
           todo.join(seedsSide, Seq("bucket"), "left")
             .select(col("id"), col("v"),
               // no usable seeds this round → keep the cell, retry under the
-              // next round's salt (or flow to the cap valve after maxRounds)
-              coalesce(xxhash64(col("bucket"), graft.functions.NearestSeedExpr(col("v"), col("_seeds"))), col("bucket"))
+              // next round's salt (or flow to the cap valve after maxRounds);
+              // guard on the seed expr itself (see round-1 note) so a
+              // no-seed ROW also stays with its cell rather than hashing
+              // to a renamed one
+              when(nearestR.isNull, col("bucket")).otherwise(xxhash64(col("bucket"), nearestR))
                 .as("bucket")),
           s"semdedup-$round")
         round += 1

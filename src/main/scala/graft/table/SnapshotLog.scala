@@ -91,8 +91,18 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
   // Spark's partition discovery, which (for multi-root reads of tables that
   // ALSO have real partition dirs below) ascends past the roots and rejects
   // differing batch tags as conflicting partition structures.
-  def dataDir(tag: String, table: String): String =
+  def dataDir(tag: String, table: String): String = {
+    // The bare `stream-<digits>` tag shape is RESERVED: it is how
+    // [[committedStreamBatches]] recognizes pre-ledger stream deltas, whose
+    // partitionsDelta ints count as committed micro-batch ids under every
+    // checkpoint identity. A batch commit reusing that shape would make a
+    // real micro-batch with a colliding id silently skipped (dropped data).
+    // New-format stream tags (`stream-<checkpointId>-<batchId>`) don't
+    // match because checkpoint ids are never empty.
+    require(!tag.matches("stream-\\d+"),
+      s"tag '$tag' matches the reserved legacy stream-delta shape stream-<digits>; pick another tag")
     new Path(root, s"data/p-$tag/$table").toString
+  }
 
   private[table] def manifestPath(seq: Long) = new Path(snapDir, f"$seq%08d.json")
 

@@ -343,6 +343,21 @@ class OpsSpec extends SparkSpec {
     assert(buckets(data) == buckets(data.repartition(7)), "bucketing changed under repartition")
   }
 
+  test("adaptiveBuckets: rows matching no seed go to cell 0 together (round-1 nullity guard)") {
+    // 700 identical dim-16 rows dominate the seed sample; dim-8 rows can
+    // match no dim-16 seed (length-mismatched seeds are skipped) — the
+    // guard must send them to cell 0 TOGETHER, not hash them apart
+    // (round-4 advisory: the old coalesce-around-xxhash64 fallback was
+    // dead code because xxhash64 skips null children)
+    val big = (0 until 700).map(i => (i.toLong, Seq.fill(16)(0.5f)))
+    val odd = (0 until 3).map(i => (1000L + i, Seq.fill(8)(0.25f * (i + 1))))
+    val df = (big ++ odd).toDF("id", "v")
+    val bucketed = Dedup.adaptiveBuckets(df, targetClusterSize = 64, maxBucket = 500, coarseSeeds = 8).cache()
+    assert(bucketed.count() == 703)
+    val oddBuckets = bucketed.filter(col("id") >= 1000).select("bucket").distinct().as[Long].collect().toSeq
+    assert(oddBuckets == Seq(0L), s"dim-8 rows must co-bucket in cell 0: $oddBuckets")
+  }
+
   test("adaptiveBuckets: a cell of >maxBucket EXACT duplicates is unsplittable and flows to the cap valve") {
     val mono = (0 until 600).map(i => (i.toLong, Seq.fill(16)(0.5f))).toDF("id", "v")
     val bucketed = Dedup.adaptiveBuckets(mono, targetClusterSize = 128, maxBucket = 500, coarseSeeds = 8).cache()
@@ -468,6 +483,18 @@ class OpsSpec extends SparkSpec {
     val fwdTol = AsofJoin.forward(left, right, Seq("k"), "t", "rt", tolerance = Some(lit(0L)))
       .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
     assert(fwdTol(2L) == Some(50L) && fwdTol(3L) == None, "forward tolerance 0 keeps only at-instant matches")
+
+    // null LEFT time never matches in either direction: ascending sort is
+    // NULLS FIRST, so an unguarded forward frame (currentRow..following)
+    // from a null-time head row would swallow the key's EARLIEST right row
+    // (round-4 advisory)
+    val leftNullT = Seq((1L, "u1", Some(10L)), (7L, "u1", Option.empty[Long])).toDF("event_id", "k", "t")
+    val fwdNull = AsofJoin.forward(leftNullT, right, Seq("k"), "t", "rt")
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(fwdNull == Map(1L -> None, 7L -> None), s"null left time must not match forward: $fwdNull")
+    val bwdNull = AsofJoin.backward(leftNullT, right, Seq("k"), "t", "rt")
+      .select("event_id", "payload").as[(Long, Option[Long])].collect().toMap
+    assert(bwdNull == Map(1L -> Some(50L), 7L -> None), s"null left time must not match backward: $bwdNull")
   }
 
   test("asof backward ≡ driver-side reference over randomized data (incl. tolerance gating)") {

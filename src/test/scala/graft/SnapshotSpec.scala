@@ -36,6 +36,20 @@ class SnapshotSpec extends SparkSpec {
   private def countMetrics(m: graft.table.Manifest): Map[String, Long] =
     m.metrics.filter { case (k, _) => k.startsWith("n_") || k == "violations_rejected" }
 
+  test("dataDir rejects the reserved legacy stream-<digits> tag shape") {
+    // `stream-42` is how committedStreamBatches recognizes PRE-ledger stream
+    // deltas; a batch commit reusing it would count its partitionsDelta ints
+    // as committed micro-batch ids under every checkpoint identity (a real
+    // micro-batch with a colliding id would then be silently skipped)
+    val log = newLog()
+    val e = intercept[IllegalArgumentException](log.dataDir("stream-42", "annotated"))
+    assert(e.getMessage.contains("reserved"))
+    // the new-format shapes stay legal
+    log.dataDir("stream-ckpt7-3", "annotated")
+    log.dataDir("stream-dedup-abc-1", "dedup_signatures")
+    log.dataDir("0_1_2", "annotated")
+  }
+
   test("atomic commit: sequences increase; HEAD reads back the manifest") {
     val log = newLog()
     val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
