@@ -58,9 +58,13 @@ object AsofJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None
+      tolerance: Option[Column] = None,
+      splitHotKeys: Boolean = false,
+      hotKeyShare: Double = 0.05,
+      hotKeyChunks: Int = 32
   ): DataFrame =
-    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = true)
+    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = true,
+      splitHotKeys, hotKeyShare, hotKeyChunks)
 
   /** @param tolerance optional max staleness: a match is kept only when
     *   `leftTime - rightTime <= tolerance` (e.g. `expr("INTERVAL 7 DAYS")`
@@ -75,9 +79,13 @@ object AsofJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None
+      tolerance: Option[Column] = None,
+      splitHotKeys: Boolean = false,
+      hotKeyShare: Double = 0.05,
+      hotKeyChunks: Int = 32
   ): DataFrame =
-    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = false)
+    joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = false,
+      splitHotKeys, hotKeyShare, hotKeyChunks)
 
   private def joinImpl(
       left: DataFrame,
@@ -86,14 +94,19 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tolerance: Option[Column],
-      forwardDir: Boolean
+      forwardDir: Boolean,
+      splitHotKeys: Boolean = false,
+      hotKeyShare: Double = 0.05,
+      hotKeyChunks: Int = 32
   ): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
+    require(hotKeyChunks > 1, "hotKeyChunks must be > 1")
     val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftCols = left.columns.toSeq
     val overlap = payloadCols.toSet.intersect(leftCols.toSet)
     require(overlap.isEmpty, s"right payload columns collide with left columns: $overlap — rename before joining")
-    val reserved = Set("_t", "_side", "_payload", "_matched").intersect((leftCols ++ right.columns).toSet)
+    val reserved = Set("_t", "_side", "_payload", "_matched", "_kh", "_bounds", "_chunk", "_boundary", "_carry")
+      .intersect((leftCols ++ right.columns).toSet)
     require(reserved.isEmpty, s"asof join reserves working columns $reserved — rename before joining")
 
     // At equal time the matching right row must fall INSIDE the left row's
@@ -119,17 +132,86 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
-    val carried = (
-      if (forwardDir)
-        unioned.withColumn("_matched",
+    // Single keyed window: the right payload carried across the key's full
+    // ordered timeline. Returns left rows only, with `_matched`.
+    def windowCarry(df: DataFrame, extraPart: Seq[Column] = Seq.empty): DataFrame = {
+      val base = Window.partitionBy(keys.map(col) ++ extraPart: _*).orderBy(col("_t"), col("_side"))
+      val c =
+        if (forwardDir)
           first(col("_payload"), ignoreNulls = true)
-            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      else
-        unioned.withColumn("_matched",
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        else
           last(col("_payload"), ignoreNulls = true)
-            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ).filter(col("_side") === leftMark)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      df.withColumn("_matched", c).filter(col("_side") === leftMark)
+    }
+
+    /** Two-pass chunked carry for HOT keys (a key whose full timeline
+      * exceeds one task): quantile-split the key's timeline into
+      * `hotKeyChunks` time ranges, run the carry window partitioned by
+      * (keys, chunk) — so one hot key spreads over hotKeyChunks tasks —
+      * then patch chunk-boundary misses from a tiny per-(key, chunk)
+      * summary table (the extreme right row of each chunk, carried across
+      * chunks by a window over #hotKeys × hotKeyChunks rows, broadcast
+      * back). Equal times always share a chunk (boundary cut is strict >),
+      * so the ≥/≤ tie semantics are preserved exactly; a hot spot at ONE
+      * instant is the only unsplittable residue. Needs `_t` castable to
+      * double (numeric or TIMESTAMP; TIMESTAMP_NTZ callers pre-convert via
+      * unix_micros).
+      */
+    def chunkedCarry(df: DataFrame): DataFrame = {
+      val keyCols = keys.map(col)
+      val tNum = col("_t").cast("double")
+      val fracs = (1 until hotKeyChunks).map(i => lit(i.toDouble / hotKeyChunks))
+      val bounds = df.groupBy(keyCols: _*)
+        .agg(percentile_approx(tNum, array(fracs: _*), lit(1000)).as("_bounds"))
+      // chunk = #boundaries strictly below t — monotone in t, ties co-chunk
+      val withChunk = df.join(broadcast(bounds), keys)
+        .withColumn("_chunk",
+          aggregate(col("_bounds"), lit(0), (acc, b) => acc + when(tNum > b, 1).otherwise(0)))
+        .drop("_bounds")
+      val within = windowCarry(withChunk, Seq(col("_chunk")))
+      // Boundary summaries: the latest (backward) / earliest (forward)
+      // right row of each chunk; dense chunk domain so empty chunks still
+      // receive a carry row.
+      val summaries = withChunk.filter(col("_side") === rightMark)
+        .groupBy(keyCols :+ col("_chunk"): _*)
+        .agg((if (forwardDir) min_by(col("_payload"), col("_t"))
+              else max_by(col("_payload"), col("_t"))).as("_boundary"))
+      val domain = df.select(keyCols: _*).distinct()
+        .withColumn("_chunk", explode(sequence(lit(0), lit(hotKeyChunks - 1))))
+      val wC = Window.partitionBy(keyCols: _*).orderBy(col("_chunk"))
+      val carryCol =
+        if (forwardDir)
+          first(col("_boundary"), ignoreNulls = true).over(wC.rowsBetween(1, Window.unboundedFollowing))
+        else
+          last(col("_boundary"), ignoreNulls = true).over(wC.rowsBetween(Window.unboundedPreceding, -1))
+      val carries = domain.join(summaries, keys :+ "_chunk", "left")
+        .withColumn("_carry", carryCol)
+        .select(keyCols ++ Seq(col("_chunk"), col("_carry")): _*)
+      within.join(broadcast(carries), keys :+ "_chunk", "left")
+        .withColumn("_matched", coalesce(col("_matched"), col("_carry")))
+        .drop("_chunk", "_carry")
+    }
+
+    val routed =
+      if (!splitHotKeys) windowCarry(unioned)
+      else {
+        // Hot-key detection composes with the skew toolkit: one narrow
+        // frequent-items sketch pass over the hashed key (no shuffle, no
+        // extra scan of wide columns). Hash collisions only mark extra
+        // keys hot — the chunked path is correct for any key, just two-pass.
+        val kh = xxhash64(keys.map(col): _*)
+        val hotHashes = graft.integrity.SkewJoin.detectHotLongKeys(
+          unioned.select(kh.as("_kh")), "_kh", minShare = hotKeyShare)
+        if (hotHashes.isEmpty) windowCarry(unioned)
+        else {
+          val isHot = kh.isin(hotHashes: _*)
+          windowCarry(unioned.filter(!isHot)).unionByName(chunkedCarry(unioned.filter(isHot)))
+        }
+      }
+
+    val carried = routed
       // A null left time can never satisfy >= / <= against any right time,
       // but ascending sort is NULLS FIRST: a null-time left row heads the
       // partition, and in the forward direction its currentRow..following

@@ -102,8 +102,20 @@ object Similarity {
 
     /** ANN top-k: per query, candidates = rows in the nprobe closest
       * centroid buckets; exact cosine + rank within candidates.
+      *
+      * @param broadcastQueries join strategy for the nprobe-exploded query
+      *   side. None (default) leaves the join un-hinted so AQE broadcasts
+      *   while the exploded side fits and falls back to a shuffle join on
+      *   `bucket` when it doesn't — a forced broadcast at millions of
+      *   queries would exceed the broadcast limit outright (round-4
+      *   verdict). Some(true) forces the broadcast (the small-panel fast
+      *   path); Some(false) forces a shuffle-hash join on `bucket` (the
+      *   cloud-scale query-set shape; pairs naturally with a bucket-
+      *   clustered stored assignments table, where the corpus side's
+      *   shuffle collapses to a co-located read).
       */
-    def topK(queries: DataFrame, queryIdCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    def topK(queries: DataFrame, queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
+        broadcastQueries: Option[Boolean] = None): DataFrame = {
       val cents = centroids
       val probeUdf = udf { (v: Seq[Float]) =>
         cents
@@ -119,9 +131,14 @@ object Similarity {
       val q = queries
         .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
         .withColumn("bucket", explode(probeUdf(col("_qv"))))
+      val qSide = broadcastQueries match {
+        case Some(true)  => broadcast(q)
+        case Some(false) => q.hint("shuffle_hash")
+        case None        => q
+      }
       val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("data_id"))
       assigned
-        .join(broadcast(q), Seq("bucket"))
+        .join(qSide, Seq("bucket"))
         .withColumn("cosine", cosine(col("_dv"), col("_qv")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -149,6 +166,50 @@ object Similarity {
         .withColumnRenamed("prediction", "bucket")
         .select("data_id", "_dv", "bucket")
       val cents = model.clusterCenters.zipWithIndex.map { case (v: MlVector, i) => (i, v.toArray) }
+      new IvfIndex(assigned, cents)
+    }
+
+    /** Persist the fitted index as snapshot-log tables — the signature-table
+      * pattern of [[Dedup.minhashSignatures]]: fit once, commit atomically,
+      * serve every subsequent query job from the stored assignments instead
+      * of re-fitting over the corpus (at 10^12 rows the fit + assignment
+      * scan is the dominant cost, and it is write-once).
+      */
+    def save(
+        spark: org.apache.spark.sql.SparkSession,
+        log: graft.table.SnapshotLog,
+        index: IvfIndex,
+        tag: String = "ivf"
+    ): graft.table.Manifest = {
+      import spark.implicits._
+      val aPath = log.dataDir(s"$tag-assignments", "ivf_assignments")
+      index.assigned.write.mode("overwrite").parquet(aPath)
+      val cDf = index.centroids.toSeq.map { case (b, c) => (b, c.toSeq) }
+        .toDF("bucket", "centroid")
+      val cPath = log.dataDir(s"$tag-centroids", "ivf_centroids")
+      cDf.coalesce(1).write.mode("overwrite").parquet(cPath)
+      log.commit(graft.table.Manifest(
+        snapshotId = "", sequence = 0L, parentId = log.head.map(_.snapshotId),
+        constraintVersion = s"ivf/${index.centroids.length}", partitionSpec = tag,
+        partitionsDelta = Seq.empty, complete = true,
+        tables = Map("ivf_assignments" -> Seq(aPath), "ivf_centroids" -> Seq(cPath)),
+        metrics = Map("n_centroids" -> index.centroids.length.toLong),
+        sketches = Map.empty, createdAtMs = System.currentTimeMillis(),
+        tableSchemas = Map(
+          "ivf_assignments" -> index.assigned.schema.json,
+          "ivf_centroids" -> cDf.schema.json)))
+    }
+
+    /** Reload a [[save]]d index: assignments stay a (lazy) table scan;
+      * centroids (numCentroids rows) collect to the driver-side probe array.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, log: graft.table.SnapshotLog): IvfIndex = {
+      val head = log.head.getOrElse(throw new IllegalStateException("load: empty snapshot log"))
+      val assigned = log.readTable(spark, head, "ivf_assignments")
+      val cents = log.readTable(spark, head, "ivf_centroids")
+        .collect()
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Seq[Double]]("centroid").toArray))
+        .sortBy(_._1)
       new IvfIndex(assigned, cents)
     }
   }

@@ -255,30 +255,87 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType]
     )
 
-  /** Atomic commit: temp write + rename is the commit point. Sequence is
-    * assigned here (head+1); a racing writer loses the rename and retries
-    * at the next sequence (single-writer in this engine, but the protocol
-    * is safe for one winner).
+  /** Non-additive schema evolution is REJECTED at commit time: readers
+    * apply the newest recorded schema on the chain ([[tableSchema]]), so a
+    * delta commit that drops or retypes an existing column would silently
+    * hide that column (or mis-cast it) in every OLDER file of the table.
+    * Rename therefore = add the new column + keep the old; a genuine
+    * revert is [[Maintenance.rollbackTo]]. Checkpoint manifests are exempt:
+    * they squash the RESOLVED state of an ancestor (rollback's revert path),
+    * they do not evolve it.
     */
-  def commit(m: Manifest): Manifest = {
-    val f = fs
-    f.mkdirs(snapDir)
-    val seq = head.map(_.sequence + 1).getOrElse(1L)
-    val stamped = m.copy(sequence = seq, snapshotId = f"snap-$seq%08d")
-    val tmp = new Path(snapDir, s".tmp-${UUID.randomUUID()}.json")
-    val out = f.create(tmp, false)
-    try out.write(mapper.writeValueAsString(stamped).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, manifestPath(seq)))
-      throw new IllegalStateException(s"commit of sequence $seq lost the rename race")
-    // Refresh the process-wide cache under the new key: if this root was
-    // deleted and re-created at the same path within one JVM (tests, fixed
-    // bench dirs), a prior incarnation's manifest could otherwise be served
-    // for this sequence forever (round-3 advisory). `stamped` is exactly
-    // what `read` would reparse — typed Long metrics, no Jackson erasure.
-    SnapshotLog.manifestCache.put(cacheKey(seq), stamped)
-    stamped
-  }
+  private def guardSchemaEvolution(m: Manifest, h: Manifest): Unit =
+    m.tableSchemas.foreach { case (table, json) =>
+      tableSchema(h, table).foreach { old =>
+        val neu = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val neuByName = neu.fields.map(f => f.name -> f).toMap
+        old.fields.foreach { of =>
+          neuByName.get(of.name) match {
+            case None => throw new IllegalArgumentException(
+              s"schema evolution for table '$table' drops column '${of.name}' — additive only " +
+                "(rename = add new + keep old; revert via Maintenance.rollbackTo)")
+            case Some(nf) if nf.dataType != of.dataType => throw new IllegalArgumentException(
+              s"schema evolution for table '$table' retypes column '${of.name}' from " +
+                s"${of.dataType.sql} to ${nf.dataType.sql} — additive only")
+            case _ => ()
+          }
+        }
+      }
+    }
+
+  /** Atomic commit: temp write + rename is the commit point. Sequence is
+    * assigned here (head+1). A writer that loses the race re-reads HEAD and
+    * retries at the next sequence (bounded attempts) — multi-writer
+    * liveness, not just single-winner safety. Same-JVM writers are
+    * serialized by a per-root lock (so the exists/rename pair is race-free
+    * in-process); cross-process mutual exclusion rests on the FileSystem's
+    * atomic fail-if-exists rename (HDFS semantics — the deployment target;
+    * POSIX local rename overwrites, hence the exists() precheck and the
+    * in-process lock that make local multi-writer tests exact).
+    */
+  def commit(m: Manifest, maxAttempts: Int = 5): Manifest =
+    SnapshotLog.lockFor(root).synchronized {
+      val f = fs
+      f.mkdirs(snapDir)
+      var attempt = 0
+      var committed: Manifest = null
+      while (committed == null) {
+        attempt += 1
+        val h = head
+        if (!m.checkpoint) h.foreach(guardSchemaEvolution(m, _))
+        val seq = h.map(_.sequence + 1).getOrElse(1L)
+        // Delta commits are re-parented to the TRUE head under the lock:
+        // chain() walks parentId, so a retried commit keeping its caller's
+        // stale parent would orphan the race winner's manifest from every
+        // subsequent read. Checkpoints keep the caller's parentId — it is
+        // pure lineage to the squashed ancestor (chain stops at the
+        // checkpoint flag), and rollbackTo depends on that.
+        val stamped = m.copy(sequence = seq, snapshotId = f"snap-$seq%08d",
+          parentId = if (m.checkpoint) m.parentId else h.map(_.snapshotId))
+        val tmp = new Path(snapDir, s".tmp-${UUID.randomUUID()}.json")
+        val out = f.create(tmp, false)
+        try out.write(mapper.writeValueAsString(stamped).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val dest = manifestPath(seq)
+        if (!f.exists(dest) && f.rename(tmp, dest)) {
+          // Refresh the process-wide cache under the new key: if this root
+          // was deleted and re-created at the same path within one JVM
+          // (tests, fixed bench dirs), a prior incarnation's manifest could
+          // otherwise be served for this sequence forever (round-3
+          // advisory). `stamped` is exactly what `read` would reparse —
+          // typed Long metrics, no Jackson erasure.
+          SnapshotLog.manifestCache.put(cacheKey(seq), stamped)
+          committed = stamped
+        } else {
+          f.delete(tmp, false)
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"commit lost the rename race $attempt times (last sequence tried: $seq)")
+        }
+      }
+      committed
+    }
 
   /** Read a logical table through the manifest chain's file lists (never by
     * directory listing — uncommitted data is invisible by construction).
@@ -431,6 +488,14 @@ object SnapshotLog {
 
   private val manifestCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Manifest]
+
+  /** Per-root commit lock: serializes same-JVM writers so the sequence
+    * assignment + exists/rename pair in [[SnapshotLog.commit]] is exact
+    * in-process (cross-process exclusion is the FileSystem rename's job).
+    */
+  private val rootLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[table] def lockFor(root: String): Object =
+    rootLocks.getOrElseUpdate(root, new Object)
 
   /** The one manifest-schema map every validate-then-produce writer records:
     * `valid` is a subtree view of `annotated` so they share the annotated

@@ -335,7 +335,11 @@ class MaintenanceSpec extends SparkSpec {
       snapshotId = "", sequence = 0L, parentId = None,
       constraintVersion = "img/1.0.0", partitionSpec = "legacy",
       partitionsDelta = Seq(5), complete = false,
-      tables = Map("annotated" -> Seq(log.dataDir("stream-5", "annotated"))),
+      // built by hand: dataDir now RESERVES the legacy stream-<digits> tag
+      // shape (a new commit can't produce it), but this fixture mimics a
+      // log written by the pre-ledger code itself
+      tables = Map("annotated" ->
+        Seq(new org.apache.hadoop.fs.Path(log.root, "data/p-stream-5/annotated").toString)),
       metrics = Map.empty, sketches = Map.empty,
       createdAtMs = System.currentTimeMillis()
     ))

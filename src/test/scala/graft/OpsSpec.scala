@@ -177,6 +177,36 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall $mean")
   }
 
+  test("IVF index: save/load round-trip serves identical top-k; big query sets probe without broadcast") {
+    val queries = embs.filter(col("vec_id") < 8)
+    val ivf = Similarity.IvfIndex.fit(embs, "vec_id", "embedding", numCentroids = 8)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "data_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val direct = collect(ivf.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3))
+    // fit once → store as snapshot-log tables → reload → identical top-k
+    val log = new graft.table.SnapshotLog(
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString,
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.IvfIndex.save(spark, log, ivf)
+    val reloaded = Similarity.IvfIndex.load(spark, log)
+    assert(collect(reloaded.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)) == direct,
+      "reloaded index diverged from the fitted one")
+    // forced-shuffle probe: same results, no broadcast of the query side
+    val shuffled = reloaded.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3,
+      broadcastQueries = Some(false))
+    assert(collect(shuffled) == direct)
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "forced-shuffle probe still broadcast")
+    // a 10^5-query panel completes through the shuffle path (the shape that
+    // would exceed the broadcast limit at production query counts)
+    val wide = (0 until 100000).map(_.toLong).toDF("qid")
+      .join(embs.limit(50).select(col("vec_id"), col("embedding")), col("qid") % 50 === col("vec_id"))
+      .select(col("qid").as("vec_id"), col("embedding"))
+    val bigProbe = reloaded.topK(wide, "vec_id", "embedding", k = 3, nprobe = 2,
+      broadcastQueries = Some(false))
+    assert(bigProbe.count() == 100000L * 3)
+  }
+
   test("PII redaction: emails and IPs counted and replaced, clean text untouched") {
     import spark.implicits._
     val df = Seq(
@@ -518,9 +548,43 @@ class OpsSpec extends SparkSpec {
 
     for (tol <- Seq(None, Some(5L), Some(0L)); fwd <- Seq(false, true)) {
       val join = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
-      val got = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
+      val got = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32)
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
       assert(got == reference(tol, fwd), s"asof mismatch at tolerance $tol forward=$fwd")
+      // the chunked hot path must agree with the same reference
+      val gotSplit = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.01, 4)
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      assert(gotSplit == reference(tol, fwd), s"asof chunked mismatch at tolerance $tol forward=$fwd")
+    }
+  }
+
+  test("asof splitHotKeys: one dominating key spreads over chunks, results identical to plain path") {
+    import graft.ops.AsofJoin
+    val rnd = new scala.util.Random(41)
+    // one key holds ~95% of all rows — the single-task stall shape
+    val leftRows = (0 until 3000).map { i =>
+      val k = if (i % 20 == 0) s"cold${i % 5}" else "hot"
+      (i.toLong, k, rnd.nextInt(500).toLong)
+    }
+    val rightRows = (0 until 1200)
+      .map(i => (if (i % 20 == 0) s"cold${i % 5}" else "hot", rnd.nextInt(500).toLong))
+      .distinct
+      .map { case (k, rt) => (k, rt, rnd.nextInt(100000).toLong) }
+    val L = leftRows.toDF("id", "k", "t")
+    val R = rightRows.toDF("k", "rt", "p")
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(25L))) {
+      val join = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
+      val plain = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32)
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      val split = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.5, 8)
+      val got = split.select("id", "p").as[(Long, Option[Long])].collect().toMap
+      assert(got == plain, s"splitHotKeys diverged (forward=$fwd tol=$tol)")
+      if (!fwd && tol.isEmpty) {
+        // the hot key must actually take the chunked path: its carry window
+        // is partitioned by (keys, _chunk), visible in the physical plan
+        val plan = split.queryExecution.executedPlan.toString
+        assert(plan.contains("_chunk"), "hot key did not route through the chunked carry")
+      }
     }
   }
 

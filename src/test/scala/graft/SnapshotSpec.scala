@@ -322,6 +322,71 @@ class SnapshotSpec extends SparkSpec {
     assert(log.tableSchema(log.head.get, "docs").map(_.fieldNames.length) == Some(3))
   }
 
+  test("non-additive schema evolution is rejected at commit; rollback remains the revert path") {
+    import org.apache.spark.sql.functions._
+    import graft.table.Manifest
+    val log = newLog()
+    val r1 = log.dataDir("evo1", "docs")
+    val v1 = spark.range(10).select(col("id"), lit("a").as("tag"))
+    v1.write.parquet(r1)
+    val m1 = log.commit(Manifest("", 0L, None, "v1", "spec", Seq(0), complete = false,
+      tables = Map("docs" -> Seq(r1)), metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = 1L, tableSchemas = Map("docs" -> v1.schema.json)))
+    var n = 1
+    def attempt(df: org.apache.spark.sql.DataFrame): Manifest = {
+      n += 1
+      val r = log.dataDir(s"evo$n", "docs")
+      df.write.parquet(r)
+      log.commit(Manifest("", 0L, Some(m1.snapshotId), "v2", "spec", Seq(n), complete = true,
+        tables = Map("docs" -> Seq(r)), metrics = Map.empty, sketches = Map.empty,
+        createdAtMs = 2L, tableSchemas = Map("docs" -> df.schema.json)))
+    }
+    // dropping an existing column: newest-schema-wins reads would silently
+    // hide `tag` in every older file — reject
+    val eDrop = intercept[IllegalArgumentException](attempt(spark.range(10, 20).select(col("id"))))
+    assert(eDrop.getMessage.contains("drops column 'tag'"))
+    // retyping: reject
+    val eType = intercept[IllegalArgumentException](
+      attempt(spark.range(10, 20).select(col("id").cast("string").as("id"), lit("b").as("tag"))))
+    assert(eType.getMessage.contains("retypes column 'id'"))
+    assert(log.head.get.sequence == m1.sequence, "rejected commits must leave no manifest")
+    // additive evolution still lands
+    attempt(spark.range(10, 20).select(col("id"), lit("b").as("tag"), lit(1).as("extra")))
+    assert(log.tableSchema(log.head.get, "docs").get.fieldNames.toSeq == Seq("id", "tag", "extra"))
+    // a genuine revert goes through rollbackTo: the checkpoint squash
+    // carries the OLD schema without tripping the guard (checkpoints squash
+    // resolved state, they don't evolve it)
+    val rb = graft.table.Maintenance.rollbackTo(log, m1.sequence)
+    assert(log.tableSchema(rb, "docs").get.fieldNames.toSeq == Seq("id", "tag"))
+  }
+
+  test("concurrent commits: both writers land, chain intact (bounded retry + re-parent)") {
+    import graft.table.Manifest
+    val log = newLog()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = (0 until 10).map { i =>
+          // caller-side parent snapshot is possibly STALE under the race —
+          // commit re-parents delta manifests to the true head
+          val parent = log.head.map(_.snapshotId)
+          log.commit(Manifest("", 0L, parent, "v1", "spec", Seq(w * 100 + i),
+            complete = false, tables = Map.empty, metrics = Map.empty,
+            sketches = Map.empty, createdAtMs = i.toLong)).sequence
+        }
+      })
+    }
+    val seqs = futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(seqs.toSet.size == 20, s"sequence collision: $seqs")
+    val head = log.head.get
+    assert(head.sequence == 20)
+    val chainSeqs = log.chain(head).map(_.sequence).toSeq
+    assert(chainSeqs == (20L to 1L by -1L), s"broken chain: $chainSeqs")
+    assert(log.committedPartitions(head) ==
+      (0 until 10).flatMap(i => Seq(i, 100 + i)).toSet, "a writer's commit went missing")
+  }
+
   test("pre-schema chains compact under MERGED footers — evolved columns survive the rewrite") {
     import org.apache.spark.sql.functions._
     import graft.table.Manifest
