@@ -242,6 +242,109 @@ object Bench {
         s.listenerManager.unregister(listener)
         res
       }
+    // Opt-in clustered-keys scan-prune measurement (SPARK_GRAFT_KEYSPRUNE=1).
+    // Two parts:
+    //  (a) MECHANISM, isolated: a synthetic 50M-row incompressible band-key
+    //      table written twice — range-clustered by (band_idx, band_key) vs
+    //      randomly laid out — probed by a pushed 64-key In filter. On the
+    //      clustered layout every file/row group's min/max excludes almost
+    //      every key (uniform hashes: P(hit) ≈ K/#groups), so the scan
+    //      decodes a fraction of the pages; the random layout interleaves
+    //      all key ranges everywhere and must decode everything. (The real
+    //      10× document corpus is useless for this measurement: replicated
+    //      texts make band keys dictionary/RLE-compress to ~70 KB total —
+    //      scans are free and nothing is measurably skipped.)
+    //  (b) END-TO-END parity: the real IncrementalDedup store at 10×
+    //      documents, compacted clustered, probed by a 4-doc batch with the
+    //      key filter on vs off — pair results must match exactly.
+    val keysPruneField: String =
+      if (!sys.env.get("SPARK_GRAFT_KEYSPRUNE").contains("1")) ""
+      else {
+        s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+        val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+        val probeListener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        }
+        def measured[T](body: => T): (T, Double, Long) = {
+          s.sparkContext.addSparkListener(probeListener)
+          bytesRead.set(0)
+          val t0 = System.nanoTime()
+          val r = body
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus is async
+          s.sparkContext.removeSparkListener(probeListener)
+          (r, dt, bytesRead.get())
+        }
+        // ---- (a) synthetic layout A/B. band_key-PRIMARY clustering: the
+        // pushed filter is on band_key alone, so a band_idx-first sort
+        // would leave every file a full-range band_key span (measured:
+        // 63/64 files overlapped, no skipping).
+        val synN = 50L * 1000 * 1000
+        val synBase = s"/tmp/graft_bench/keysprune_syn"
+        val clusteredDir = s"$synBase/clustered_bk"
+        val randomDir = s"$synBase/random"
+        if (!new java.io.File(s"$synBase/_DONE_V2").exists()) {
+          val rows = s.range(0, synN, 1, cpus * 2)
+            .select(col("id"),
+              pmod(xxhash64(col("id"), lit(7L)), lit(16)).cast("int").as("band_idx"),
+              xxhash64(col("id"), lit(13L)).as("band_key"))
+          rows.repartitionByRange(64, col("band_key"))
+            .sortWithinPartitions("band_key")
+            .write.mode("overwrite").parquet(clusteredDir)
+          rows.repartition(64).write.mode("overwrite").parquet(randomDir)
+          new java.io.File(s"$synBase/_DONE_V2").createNewFile()
+        }
+        val probeKeys = (0 until 64).map(i => // the keys genuinely exist in the table
+          s.range(i * 1000, i * 1000 + 1).select(xxhash64(col("id"), lit(13L))).collect()(0).getLong(0))
+        def scanCount(dir: String): Long = {
+          val df = s.read.parquet(dir).filter(col("band_key").isin(probeKeys: _*))
+          df.count()
+        }
+        // warm both paths once (codegen/JIT), then measure
+        scanCount(clusteredDir); scanCount(randomDir)
+        val (nClu, tClu, bClu) = measured(scanCount(clusteredDir))
+        val (nRnd, tRnd, bRnd) = measured(scanCount(randomDir))
+        if (nClu != nRnd) System.err.println(s"[bench] KEYSPRUNE synthetic row mismatch: $nClu vs $nRnd")
+        // ---- (b) end-to-end parity over the real store
+        val dir = s"/tmp/graft_bench/keysprune_$sfName"
+        graft.gen.ScaledData.materializeDocuments(s, sfDir, dir, replicas = 10)
+        val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = s"/tmp/graft_bench/keysprune_store_$sfName"
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(conf).delete(rootPath, true)
+        val docLog = new graft.table.SnapshotLog(s"$root/docs", conf)
+        val sigLog = new graft.table.SnapshotLog(s"$root/sigs", conf)
+        val corpusDir = docLog.dataDir("corpus", "documents")
+        docs.write.mode("overwrite").parquet(corpusDir)
+        docLog.commit(graft.table.Manifest("", 0L, None, "docs/1", "bench", Seq.empty,
+          complete = true, tables = Map("documents" -> Seq(corpusDir)),
+          metrics = Map.empty, sketches = Map.empty,
+          createdAtMs = System.currentTimeMillis(),
+          tableSchemas = Map("documents" -> docs.schema.json)))
+        val dedup = new graft.streaming.IncrementalDedup(docLog, sigLog,
+          "documents", "doc_id", "text", s"$root/cursor", conf)
+        dedup.step(s)(_ => ())
+        dedup.compactSignatures(s, targetFileBytes = 512 * 1024)
+        val head = sigLog.head.get
+        val sigs = sigLog.readTable(s, head, dedup.SigTable)
+        val keysTbl = sigLog.readTable(s, head, dedup.KeysTable)
+        val batch = docs.orderBy("doc_id").limit(4)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(col("text"), lit(" qz")).as("text"))
+        val batchSigs = graft.ops.Dedup.minhashSignatures(batch, "doc_id", "text")
+        def probe(pruneLimit: Int): Long = graft.ops.Dedup.minhashPairsAgainstSignatures(
+          sigs, batchSigs, 0.7, graft.ops.Dedup.DefaultMaxBucket, Some(keysTbl), pruneLimit).count()
+        val (nOff, tOff, _) = measured(probe(0))
+        val (nOn, tOn, _) = measured(probe(100000))
+        if (nOn != nOff) System.err.println(s"[bench] KEYSPRUNE pair mismatch: on=$nOn off=$nOff")
+        f""""keysprune":{"syn_rows":$synN%d,"probe_keys":64,"syn_matched_rows":$nClu%d,""" +
+          f""""syn_sec_clustered":$tClu%.3f,"syn_sec_random":$tRnd%.3f,""" +
+          f""""syn_bytes_clustered":$bClu%d,"syn_bytes_random":$bRnd%d,""" +
+          f""""e2e_pairs_filtered":$nOn%d,"e2e_pairs_unfiltered":$nOff%d,""" +
+          f""""e2e_sec_filtered":$tOn%.3f,"e2e_sec_unfiltered":$tOff%.3f},"""
+      }
     s.stop()
 
     def fmt(rs: Seq[(String, Double)]) =
@@ -263,6 +366,7 @@ object Bench {
         }
       } catch { case _: Throwable => "" }
     val sf1Field = if (sf1Results.isEmpty) carried("queries_sf1") else s""""queries_sf1":${fmt(sf1Results)},"""
+    val keysPruneOut = if (keysPruneField.isEmpty) carried("keysprune") else keysPruneField
     val lshField =
       if (lsh100Results.isEmpty)
         carried("queries_lsh100") + carried("lsh100_dropped_rows") + carried("lsh100_dropped_rows_incoming")
@@ -306,7 +410,7 @@ object Bench {
 
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s$lshField%s"sf":"$sfName%s",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s$lshField%s$keysPruneOut%s"sf":"$sfName%s",""" +
         f""""validate_sf":$validateSf%s,"validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
         f""""validate_sec_low":$secGateLow%.3f,"validate_sec_high":$secGateHigh%.3f,""" +
         f""""validate_rows_per_sec_low":$thrGateLow%.0f,"validate_rows_per_sec_high":$thrGateHigh%.0f,""" +

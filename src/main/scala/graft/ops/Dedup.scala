@@ -167,22 +167,59 @@ object Dedup {
       .withColumn("bands", graft.functions.MinHash.bandKeys(col("sh"), numHashes, numBands))
   }
 
+  /** The (id, band_idx, band_key) row form of a [[minhashSignatures]]
+    * frame — what a STORED corpus keys table holds so the per-batch probe
+    * join reads scan columns directly (a band_key filter can then reach the
+    * parquet reader; keys packed in the `bands` array sit above a Generate
+    * no filter crosses). Store it range-clustered by (band_idx, band_key)
+    * via `Maintenance.compact(..., clusterBy = Seq("band_idx", "band_key"))`
+    * and each file covers a narrow key range for min/max row-group skipping.
+    */
+  def explodedBandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
   /** Cross-side pairing over prebuilt [[minhashSignatures]] frames (both
     * sides must share shingleK/numHashes/numBands).
+    *
+    * @param corpusKeys optional prebuilt/stored [[explodedBandKeys]] frame
+    *   for the corpus (skips re-exploding `bands`, and being scan columns
+    *   its band_key admits pushed filters).
+    * @param pruneBandKeysLimit when > 0 and the incoming batch has at most
+    *   this many distinct band keys, they are collected and pushed as an
+    *   `isin` filter on the corpus keys scan — a strict superset of the
+    *   join, so results are identical, but on a (band_idx, band_key)-
+    *   clustered stored table parquet min/max stats skip nearly every
+    *   row group (uniform hash keys: P(file hit) ≈ K/#files). Raise
+    *   `spark.sql.parquet.pushdown.inFilterThreshold` above the limit or
+    *   Spark degrades the pushed In to a useless full-range bound.
     */
   def minhashPairsAgainstSignatures(
       corpusSigs: DataFrame,
       incomingSigs: DataFrame,
       threshold: Double = 0.7,
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKeys: Option[DataFrame] = None,
+      pruneBandKeysLimit: Int = 0
   ): DataFrame = {
-    def keys(s: DataFrame, obsName: String) = capBuckets(
-      s.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
-      Seq("band_idx", "band_key"), maxBucket, obsName)
-    val cand = keys(corpusSigs, "lsh_buckets")
+    val incomingKeys = capBuckets(
+      explodedBandKeys(incomingSigs),
+      Seq("band_idx", "band_key"), maxBucket, "lsh_buckets_incoming")
+    val corpusKeyRows = corpusKeys.getOrElse(explodedBandKeys(corpusSigs))
+    // Whole buckets are kept or dropped by the prune (it filters on the
+    // bucket key itself), so the downstream cap sees identical bucket
+    // sizes — pruned and unpruned paths return the same pairs.
+    val corpusPruned =
+      if (pruneBandKeysLimit <= 0) corpusKeyRows
+      else {
+        val ks = incomingKeys.select("band_key").distinct()
+          .limit(pruneBandKeysLimit + 1).collect().map(_.getLong(0))
+        if (ks.length > pruneBandKeysLimit) corpusKeyRows
+        else corpusKeyRows.filter(col("band_key").isin(ks.toSeq: _*))
+      }
+    val cand = capBuckets(corpusPruned, Seq("band_idx", "band_key"), maxBucket, "lsh_buckets")
       .select(col("id").as("corpus_id"), col("band_idx"), col("band_key"))
       .join(
-        keys(incomingSigs, "lsh_buckets_incoming")
+        incomingKeys
           .select(col("id").as("incoming_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select("corpus_id", "incoming_id")

@@ -74,12 +74,21 @@ object Maintenance {
     * Compacting `annotated` re-points the derived `valid` table (its
     * statusd=success subtree) in the same commit — one atomic swap for both.
     */
+  /** @param clusterBy overrides the default `partition_id` range clustering
+    *   with caller-chosen sort/range columns (route columns still lead —
+    *   they are physical layout). The 10^12-row use: compacting a dedup
+    *   band-key table clustered by (band_idx, band_key) gives every output
+    *   file a narrow key range, so a probe batch's pushed key filter skips
+    *   almost all row groups via parquet min/max stats
+    *   ([[graft.streaming.IncrementalDedup]]'s scan-prune path).
+    */
   def compact(
       spark: SparkSession,
       log: SnapshotLog,
       table: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      rewriteThresholdBytes: Option[Long] = None
+      rewriteThresholdBytes: Option[Long] = None,
+      clusterBy: Seq[String] = Seq.empty
   ): CompactionStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     // `valid` is a DERIVED subtree view of `annotated`, re-pointed by every
@@ -130,9 +139,13 @@ object Maintenance {
     val df = log.readPaths(spark, paths, Some(tableWideSchema))
     val fields = df.schema.fieldNames.toSet
     val routes = routeDirs.filter { case (_, src) => fields.contains(src) }
+    require(clusterBy.forall(fields.contains),
+      s"clusterBy columns ${clusterBy.filterNot(fields.contains)} not in table '$table' (${fields.toSeq.sorted})")
     val clusterCols =
       routes.map { case (_, src) => col(src) } ++
-        (if (fields.contains("partition_id")) Seq(col("partition_id")) else Nil)
+        (if (clusterBy.nonEmpty) clusterBy.map(col)
+         else if (fields.contains("partition_id")) Seq(col("partition_id"))
+         else Nil)
 
     // A uniform tiebreaker as the LAST range key: range partitioning on
     // low-cardinality keys alone (e.g. a table with `status` but no

@@ -264,6 +264,26 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     * they squash the RESOLVED state of an ancestor (rollback's revert path),
     * they do not evolve it.
     */
+  /** Type equality modulo nullability at every nesting level — writers
+    * legitimately flip containsNull/nullable between batches (e.g. an
+    * exploded array column), and nullability is not a retype.
+    */
+  private def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) => sameTypeIgnoreNullability(ae, be)
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameTypeIgnoreNullability(ak, bk) && sameTypeIgnoreNullability(av, bv)
+      case (StructType(af), StructType(bf)) =>
+        af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+          x.name == y.name && sameTypeIgnoreNullability(x.dataType, y.dataType)
+        }
+      case _ => a == b
+    }
+  }
+
   private def guardSchemaEvolution(m: Manifest, h: Manifest): Unit =
     m.tableSchemas.foreach { case (table, json) =>
       tableSchema(h, table).foreach { old =>
@@ -275,7 +295,7 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
             case None => throw new IllegalArgumentException(
               s"schema evolution for table '$table' drops column '${of.name}' — additive only " +
                 "(rename = add new + keep old; revert via Maintenance.rollbackTo)")
-            case Some(nf) if nf.dataType != of.dataType => throw new IllegalArgumentException(
+            case Some(nf) if !sameTypeIgnoreNullability(nf.dataType, of.dataType) => throw new IllegalArgumentException(
               s"schema evolution for table '$table' retypes column '${of.name}' from " +
                 s"${of.dataType.sql} to ${nf.dataType.sql} — additive only")
             case _ => ()

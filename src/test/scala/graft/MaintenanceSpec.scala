@@ -452,6 +452,107 @@ class MaintenanceSpec extends SparkSpec {
     assert(dedup.step(spark)(_ => fail("caught up")) == 0L)
   }
 
+  test("IncrementalDedup keys table: clustered compaction + pruned probe parity; legacy chains poison until rebuildKeys") {
+    import graft.ops.Dedup
+    import graft.streaming.IncrementalDedup
+    import graft.table.Manifest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def doc(i: Long, tag: String) = {
+      val rnd = new scala.util.Random(i * 1315423911L + tag.hashCode)
+      (i, (0 until 40).map(_ => f"w${rnd.nextInt(5000)}%04d").mkString(" "))
+    }
+    val log = newLog()
+    def commitDocs(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val dir = log.dataDir(s"docs-$tag", "documents")
+      val df = rows.toDF("doc_id", "text")
+      df.write.mode("overwrite").parquet(dir)
+      val head = log.head
+      log.commit(Manifest("", 0L, head.map(_.snapshotId), "docs/1", "batch",
+        Seq.empty, complete = false, tables = Map("documents" -> Seq(dir)),
+        metrics = head.map(_.metrics).getOrElse(Map.empty), sketches = Map.empty,
+        createdAtMs = System.currentTimeMillis(),
+        tableSchemas = Map("documents" -> df.schema.json)))
+    }
+    commitDocs("k1", (0L until 60L).map(doc(_, "first")))
+    val sigLog = newLog()
+    val dedup = new IncrementalDedup(log, sigLog, "documents", "doc_id", "text",
+      Files.createTempDirectory("graft_keys_cursor").toString, spark.sparkContext.hadoopConfiguration)
+    assert(dedup.step(spark)(_ => ()) > 0)
+    // keys twin lands in the SAME commit, one row per (doc, band)
+    val head1 = sigLog.head.get
+    assert(head1.tables.contains(dedup.KeysTable) && head1.tables.contains(dedup.SigTable))
+    val keyRows = sigLog.readTable(spark, head1, dedup.KeysTable)
+    assert(keyRows.count() == 60 * 16, "keys table must hold numBands rows per doc")
+    assert(head1.metrics.get("dedup_keys_incomplete").contains(0L))
+
+    // clustered compaction: parity + band_key ranges of output files are
+    // non-overlapping (band_key-PRIMARY range clustering — the pushed probe
+    // filter is on band_key alone, so that is the column whose file min/max
+    // must be narrow; small target forces >1 file)
+    dedup.compactSignatures(spark, targetFileBytes = 2 * 1024)
+    val keysAfter = sigLog.readTable(spark, sigLog.head.get, dedup.KeysTable)
+    assert(keysAfter.count() == 60 * 16, "compaction changed keys row count")
+    val keyFiles = keysAfter.select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("band_key"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("band_key").as("lo"),
+        org.apache.spark.sql.functions.max("band_key").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    assert(keyFiles.length > 1, "compaction produced a single file; clustering unobservable")
+    keyFiles.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 >= hi, s"band_key ranges overlap across files: ${keyFiles.toSeq}")
+    case _ => ()
+    }
+
+    // pruned stored-keys probe ≡ plain probe: same pairs for an arriving batch
+    commitDocs("k2", Seq((1003L, doc(3L, "first")._2 + " qz"), (1100L, doc(1100L, "second")._2)))
+    var got = Set.empty[(Long, Long)]
+    assert(dedup.step(spark)(df =>
+      got = df.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet) > 0)
+    assert(got == Set((3L, 1003L)), s"pruned probe diverged: $got")
+    // direct parity on the same stored frames
+    val sigs = sigLog.readTable(spark, sigLog.head.get, dedup.SigTable)
+    val keys2 = sigLog.readTable(spark, sigLog.head.get, dedup.KeysTable)
+    val batchSigs = Dedup.minhashSignatures(
+      Seq((9003L, doc(3L, "first")._2 + " zq")).toDF("doc_id", "text"), "doc_id", "text")
+    def pairsOf(ck: Option[org.apache.spark.sql.DataFrame], limit: Int) =
+      Dedup.minhashPairsAgainstSignatures(sigs, batchSigs, 0.7, Dedup.DefaultMaxBucket, ck, limit)
+        .select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet
+    assert(pairsOf(None, 0) == pairsOf(Some(keys2), 16384), "stored-keys pruned path diverged")
+
+    // legacy chain (sig-only commits) poisons coverage until rebuildKeys
+    val legacyLog = newLog()
+    val legacySigs = Dedup.minhashSignatures(
+      (0L until 10L).map(doc(_, "leg")).toDF("doc_id", "text"), "doc_id", "text")
+    val legacyDir = legacyLog.dataDir("legacysigs-1", "dedup_sigs")
+    legacySigs.write.parquet(legacyDir)
+    legacyLog.commit(Manifest("", 0L, None, "dedup-sigs/1", "incremental", Seq.empty,
+      complete = false, tables = Map("dedup_sigs" -> Seq(legacyDir)),
+      metrics = Map.empty, sketches = Map.empty, createdAtMs = 1L,
+      tableSchemas = Map("dedup_sigs" -> legacySigs.schema.json)))
+    val docLog2 = newLog()
+    val dedup2 = new IncrementalDedup(docLog2, legacyLog, "documents", "doc_id", "text",
+      Files.createTempDirectory("graft_legacy_cursor").toString, spark.sparkContext.hadoopConfiguration)
+    val dir2 = docLog2.dataDir("docs-l1", "documents")
+    val df2 = Seq((5000L, doc(3L, "leg")._2 + " qz")).toDF("doc_id", "text")
+    df2.write.parquet(dir2)
+    docLog2.commit(Manifest("", 0L, None, "docs/1", "batch", Seq.empty, complete = false,
+      tables = Map("documents" -> Seq(dir2)), metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = 1L, tableSchemas = Map("documents" -> df2.schema.json)))
+    var legacyPairs = Set.empty[(Long, Long)]
+    assert(dedup2.step(spark)(df =>
+      legacyPairs = df.select("corpus_id", "incoming_id").as[(Long, Long)].collect().toSet) > 0)
+    assert(legacyPairs == Set((3L, 5000L)), "legacy fallback probe must still find pairs")
+    assert(legacyLog.head.get.metrics.get("dedup_keys_incomplete").contains(1L),
+      "upgrade onto un-keyed sig data must stamp the coverage poison")
+    dedup2.rebuildKeys(spark)
+    val h2 = legacyLog.head.get
+    assert(h2.metrics.get("dedup_keys_incomplete").contains(0L))
+    assert(legacyLog.readTable(spark, h2, dedup2.KeysTable).count() == 11 * 16,
+      "rebuild must cover every stored doc (10 legacy + 1 new)")
+  }
+
   test("IncrementalDedup randomized interleavings ≡ slice-aware model (commits, bounded steps, cursor crashes)") {
     import graft.streaming.IncrementalDedup
     import graft.table.Manifest
