@@ -202,6 +202,7 @@ object Bench {
         val dir = s"/tmp/graft_bench/lsh100_$sfName"
         graft.gen.ScaledData.materializeDocuments(s, sfDir, dir, replicas = 100)
         graft.gen.ScaledData.materializeEmbeddings(s, sfDir, dir, replicas = 100)
+        graft.gen.ScaledData.materializeEvents(s, sfDir, dir, replicas = 100)
         val lastObserved = new java.util.concurrent.atomic.AtomicLong(-1L)
         // q44/q45 cap BOTH sides of the incremental join; the corpus-side
         // metric alone would hide incoming-side drops entirely.
@@ -219,10 +220,16 @@ object Bench {
         }
         s.listenerManager.register(listener)
         // q44/q45 ride along: their corpus is 100× but the arriving batch
-        // stays fixed — incremental dedup must stay FLAT here, not linear
+        // stays fixed — incremental dedup must stay FLAT here, not linear.
+        // q37: the adaptive quantizer's rounds at 100× embeddings (round-5
+        // stress task). The asof family: ONE shuffle+sort of 100× events —
+        // no lsh metric, so don't poll the listener for them.
+        val noLshMetric = Set("q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward")
         val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
           "q35_phash_near_dup", "q36_dedup_components",
-          "q44_incremental_near_dup", "q45_incremental_text_dedup").map { name =>
+          "q44_incremental_near_dup", "q45_incremental_text_dedup",
+          "q37_semantic_dedup",
+          "q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward").map { name =>
           lastObserved.set(-1L)
           lastObservedIncoming.set(-1L)
           val t0 = System.nanoTime()
@@ -232,8 +239,10 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           // the listener bus is async; wait briefly for the metric to land
           var waited = 0
-          while (ok && lastObserved.get() < 0 && waited < 50) { Thread.sleep(100); waited += 1 }
-          lshDrops(name) = lastObserved.get()
+          while (ok && !noLshMetric.contains(name) && lastObserved.get() < 0 && waited < 50) {
+            Thread.sleep(100); waited += 1
+          }
+          if (!noLshMetric.contains(name)) lshDrops(name) = lastObserved.get()
           if (lastObservedIncoming.get() >= 0) lshDropsIncoming(name) = lastObservedIncoming.get()
           // A failed stress query must not masquerade as a fast one: its
           // duration is emitted NEGATIVE (impossible for a real timing).

@@ -430,6 +430,43 @@ object Queries {
       .orderBy("drop_id")
   }
 
+  /** q42 routed through the SKEW-SAFE chunked-carry path: splitHotKeys on
+    * with a share threshold low enough that every user key routes hot, so
+    * the driver's oracle (the SAME DuckDB ASOF as q42) grades the quantile
+    * time-chunking + boundary-carry machinery end to end, timestamps
+    * included — results must be bit-identical to the plain single-window
+    * plan (round-5 hot-key work).
+    */
+  def q50AsofSkewSafe(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "pts",
+      splitHotKeys = true, hotKeyShare = 1e-6, hotKeyChunks = 8)
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** q45's incremental probe through the STORED-KEYS + pushed-filter path:
+    * corpus band keys as a row-wise frame (the dedup_keys table shape) and
+    * the batch's distinct keys collected and pushed onto that scan —
+    * a whole-bucket superset of the join, so the SAME exhaustive-Jaccard
+    * oracle as q45 must hash-match (round-5 scan-prune work).
+    */
+  def q51PrunedIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val incoming = t(s, dir, "documents").filter(col("doc_id") < 15)
+      .select((col("doc_id") + 4000000).as("doc_id"), concat(col("text"), lit(" zq")).as("text"))
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val incomingSigs = Dedup.minhashSignatures(incoming, "doc_id", "text")
+    Dedup.minhashPairsAgainstSignatures(corpusSigs, incomingSigs, threshold = 0.8,
+        corpusKeys = Some(Dedup.explodedBandKeys(corpusSigs)), pruneBandKeysLimit = 1000000)
+      .select(col("corpus_id"), col("incoming_id"), round(col("jaccard"), 3).as("jaccard_3dp"))
+      .orderBy("corpus_id", "incoming_id")
+  }
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -871,7 +908,9 @@ object Queries {
     "q47_asof_tolerance" -> (q47AsofTolerance _),
     "q20_minhash_dedup" -> (qMinhashDedup _),
     "q48_asof_forward" -> (q48AsofForward _),
-    "q49_prune_by_score" -> (q49PruneByScore _)
+    "q49_prune_by_score" -> (q49PruneByScore _),
+    "q50_asof_skew_safe" -> (q50AsofSkewSafe _),
+    "q51_pruned_incremental_dedup" -> (q51PrunedIncrementalDedup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1296,6 +1335,35 @@ object Queries {
                FROM s)
          SELECT s.doc_id AS drop_id, k.keep_id
          FROM s JOIN k ON s.grp = k.grp AND k.rk = 1 AND k.n > 1 AND s.doc_id != k.keep_id
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "q50_asof_skew_safe" ->
+      // identical oracle to q42: the chunked hot-key plan must be
+      // result-identical to the plain single-window plan
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, p.purchase_id, p.pts AS purchase_ts
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+         ORDER BY 1""",
+    "q51_pruned_incremental_dedup" ->
+      // identical oracle to q45: the pushed band-key filter is a
+      // whole-bucket superset of the probe join
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         inc AS (SELECT doc_id + 4000000 AS doc_id, text || ' zq' AS text
+                 FROM documents WHERE doc_id < 15),
+         gc AS (SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+                FROM corpus, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS gs) s),
+         gi AS (SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+                FROM inc, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS gs) s),
+         nc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
+         ni AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
+         i AS (SELECT c.doc_id AS corpus_id, x.doc_id AS incoming_id, count(*) AS inter
+               FROM gc c JOIN gi x USING (g) GROUP BY 1, 2),
+         j AS (SELECT corpus_id, incoming_id,
+                      CAST(inter AS DOUBLE)/(nc.n + ni.n - inter) AS jac
+               FROM i JOIN nc ON nc.doc_id = corpus_id JOIN ni ON ni.doc_id = incoming_id)
+         SELECT corpus_id, incoming_id, round(jac, 3) AS jaccard_3dp
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
   )
 }

@@ -132,6 +132,28 @@ object ScaledData {
     ()
   }
 
+  /** Events-ONLY scale-up — the as-of family's 100× stress input. Replica
+    * r shifts event_id by the id range and jitters ts by r seconds, so
+    * per-user timelines genuinely grow 100× in DISTINCT instants (verbatim
+    * replication would collapse under q42's per-(user, ts) pre-aggregation
+    * and understate the sort).
+    */
+  def materializeEvents(spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALED_EVENTS")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val off = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
+    (0 until replicas)
+      .map(r => ev
+        .withColumn("event_id", col("event_id") + lit(r * off))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $r SECONDS")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    marker.createNewFile()
+    ()
+  }
+
   /** Embeddings-ONLY scale-up (same perturb+renormalize scheme as
     * [[materialize]]) — the embedding half of the 100× stress (q44).
     */

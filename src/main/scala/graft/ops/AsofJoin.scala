@@ -161,7 +161,17 @@ object AsofJoin {
       */
     def chunkedCarry(df: DataFrame): DataFrame = {
       val keyCols = keys.map(col)
-      val tNum = col("_t").cast("double")
+      // Any monotone numeric image of _t works for range-chunking; ANSI
+      // mode (Spark 4 default) forbids timestamp→double casts, so go
+      // through unix_micros (NTZ first reinterpreted in the session tz —
+      // still monotone, which is all the chunk cut needs).
+      val tNum = df.schema("_t").dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col("_t")).cast("double")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col("_t").cast("timestamp")).cast("double")
+        case _ => col("_t").cast("double")
+      }
       val fracs = (1 until hotKeyChunks).map(i => lit(i.toDouble / hotKeyChunks))
       val bounds = df.groupBy(keyCols: _*)
         .agg(percentile_approx(tNum, array(fracs: _*), lit(1000)).as("_bounds"))
