@@ -467,6 +467,23 @@ object Queries {
       .orderBy("corpus_id", "incoming_id")
   }
 
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): each click
+    * joined to the purchase closest in time in EITHER direction, ties to
+    * the past — one shuffle+sort (both candidate carries share the single
+    * keyed window sort). Oracle: closed-form DuckDB argmin over the keyed
+    * cross pairs with the identical (|Δt|, past-first) tiebreak.
+    */
+  def q52AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.nearest(clicks, purchases, Seq("user_id"), "ts", "pts")
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -910,7 +927,8 @@ object Queries {
     "q48_asof_forward" -> (q48AsofForward _),
     "q49_prune_by_score" -> (q49PruneByScore _),
     "q50_asof_skew_safe" -> (q50AsofSkewSafe _),
-    "q51_pruned_incremental_dedup" -> (q51PrunedIncrementalDedup _)
+    "q51_pruned_incremental_dedup" -> (q51PrunedIncrementalDedup _),
+    "q52_asof_nearest" -> (q52AsofNearest _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1364,6 +1382,22 @@ object Queries {
                       CAST(inter AS DOUBLE)/(nc.n + ni.n - inter) AS jac
                FROM i JOIN nc ON nc.doc_id = corpus_id JOIN ni ON ni.doc_id = incoming_id)
          SELECT corpus_id, incoming_id, round(jac, 3) AS jaccard_3dp
-         FROM j WHERE jac >= 0.8 ORDER BY 1, 2"""
+         FROM j WHERE jac >= 0.8 ORDER BY 1, 2""",
+    "q52_asof_nearest" ->
+      // closed-form nearest: per click the purchase minimizing |Δt|, ties
+      // to the PAST — exactly the operator's documented tiebreak
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+         cand AS (SELECT c.event_id, p.purchase_id, p.pts,
+                         row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY abs(epoch(c.ts) - epoch(p.pts)),
+                                    CASE WHEN p.pts <= c.ts THEN 0 ELSE 1 END) AS rk
+                  FROM c JOIN p USING (user_id))
+         SELECT c.event_id, cand.purchase_id, cand.pts AS purchase_ts
+         FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1
+         ORDER BY 1"""
   )
 }

@@ -87,6 +87,82 @@ object AsofJoin {
     joinImpl(left, right, keys, leftTime, rightTime, tolerance, forwardDir = false,
       splitHotKeys, hotKeyShare, hotKeyChunks)
 
+  /** Nearest as-of (pandas `merge_asof direction='nearest'`): the right
+    * row minimizing |leftTime − rightTime| per key; ties break toward the
+    * PAST (the backward candidate) — deterministic given the right side's
+    * uniqueness-per-(keys, time) contract. Cost is IDENTICAL to one
+    * backward join: both candidate carries are window functions over the
+    * SAME (keys)-partitioned (time, side) sort, so Spark evaluates them in
+    * one Window operator — still ONE shuffle + sort of |L|+|R|.
+    * `tolerance` bounds the absolute distance of the CHOSEN candidate
+    * (both-direction gate, merge_asof semantics).
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Column] = None
+  ): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val leftCols = left.columns.toSeq
+    val overlap = payloadCols.toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty, s"right payload columns collide with left columns: $overlap — rename before joining")
+    val reserved = Set("_t", "_side", "_payload", "_mb", "_mf", "_matched")
+      .intersect((leftCols ++ right.columns).toSet)
+    require(reserved.isEmpty, s"asof join reserves working columns $reserved — rename before joining")
+
+    // Rights sort before lefts at equal time (backward convention): the
+    // at-instant right lands in the backward frame at distance 0, which
+    // wins every comparison — the forward frame correctly excludes it.
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_payload",
+        when(lit(false), struct(payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)))
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", struct(payloadCols.map(col): _*))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_payload")): _*)
+    val unioned = l
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
+    val guard = col(leftTime).isNotNull // null left time: no distance is defined
+    val withBoth = unioned
+      .withColumn("_mb", last(col("_payload"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_mf", first(col("_payload"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("_side") === 1)
+      .withColumn("_mb", when(guard, col("_mb")))
+      .withColumn("_mf", when(guard, col("_mf")))
+    val db = col(leftTime) - col(s"_mb.`$rightTime`")
+    val df2 = col(s"_mf.`$rightTime`") - col(leftTime)
+    val chosen = when(col("_mb").isNull, col("_mf"))
+      .when(col("_mf").isNull, col("_mb"))
+      .when(db <= df2, col("_mb")) // tie → past
+      .otherwise(col("_mf"))
+    val gated = tolerance match {
+      case None => withBoth.withColumn("_matched", chosen)
+      case Some(tol) =>
+        // gate the CHOSEN candidate's absolute distance; never fall
+        // through to the other direction's farther row
+        val dist = when(col(s"_matched.`$rightTime`") >= col(leftTime),
+          col(s"_matched.`$rightTime`") - col(leftTime))
+          .otherwise(col(leftTime) - col(s"_matched.`$rightTime`"))
+        withBoth.withColumn("_matched", chosen)
+          .withColumn("_matched", when(dist <= tol, col("_matched")))
+    }
+    gated.select(leftCols.map(col) ++ payloadCols.map(c => col(s"_matched.`$c`").as(c)): _*)
+  }
+
   private def joinImpl(
       left: DataFrame,
       right: DataFrame,
@@ -188,7 +264,8 @@ object AsofJoin {
         .groupBy(keyCols :+ col("_chunk"): _*)
         .agg((if (forwardDir) min_by(col("_payload"), col("_t"))
               else max_by(col("_payload"), col("_t"))).as("_boundary"))
-      val domain = df.select(keyCols: _*).distinct()
+      // bounds is already one row per hot key — no second distinct scan
+      val domain = bounds.select(keyCols: _*)
         .withColumn("_chunk", explode(sequence(lit(0), lit(hotKeyChunks - 1))))
       val wC = Window.partitionBy(keyCols: _*).orderBy(col("_chunk"))
       val carryCol =

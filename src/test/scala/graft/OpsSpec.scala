@@ -558,6 +558,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asof nearest ≡ driver-side reference (ties to the past; tolerance gates both directions)") {
+    import graft.ops.AsofJoin
+    val rnd = new scala.util.Random(29)
+    val keyPool = (0 until 6).map(i => s"k$i")
+    val leftRows = (0 until 400).map(i => (i.toLong, keyPool(rnd.nextInt(keyPool.length)), rnd.nextInt(60).toLong))
+    val rightRows = (0 until 300)
+      .map(_ => (keyPool(rnd.nextInt(keyPool.length)), rnd.nextInt(60).toLong))
+      .distinct
+      .map { case (k, rt) => (k, rt, rnd.nextInt(100000).toLong) }
+    val L = leftRows.toDF("id", "k", "t")
+    val R = rightRows.toDF("k", "rt", "p")
+    def reference(tol: Option[Long]): Map[Long, Option[Long]] = leftRows.map { case (id, k, t) =>
+      val cand = rightRows.filter(_._1 == k)
+      val best = if (cand.isEmpty) None
+        else Some(cand.minBy(r => (math.abs(r._2 - t), if (r._2 <= t) 0 else 1)))
+      id -> best.filter(b => tol.forall(x => math.abs(b._2 - t) <= x)).map(_._3)
+    }.toMap
+    for (tol <- Seq(None, Some(5L), Some(0L))) {
+      val got = AsofJoin.nearest(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      assert(got == reference(tol), s"nearest mismatch at tolerance $tol")
+    }
+    // null left time: no distance is defined, never a match
+    val leftNullT = Seq((1L, "k0", Some(10L)), (7L, "k0", Option.empty[Long])).toDF("id", "k", "t")
+    val gotNull = AsofJoin.nearest(leftNullT, R, Seq("k"), "t", "rt")
+      .select("id", "p").as[(Long, Option[Long])].collect().toMap
+    assert(gotNull(7L).isEmpty, "null left time matched in nearest")
+  }
+
   test("asof splitHotKeys: one dominating key spreads over chunks, results identical to plain path") {
     import graft.ops.AsofJoin
     val rnd = new scala.util.Random(41)

@@ -183,4 +183,40 @@ class PlanSpec extends SparkSpec {
     assert(seedLine.get.contains("*("), s"nearest_seed fell out of whole-stage codegen:\n${seedLine.get.take(300)}")
     assert(!p.contains("Exchange hashpartitioning(id"), "corpus shuffled for assignment")
   }
+
+  test("skew-safe asof: hot keys carry through a (keys, chunk)-partitioned window, boundary patch broadcast") {
+    val joined = Queries.q50AsofSkewSafe(spark, sfDir)
+    joined.collect()
+    val p = plan(joined).split("== Initial Plan ==")(0)
+    assert(p.contains("_chunk"), s"chunked hot path missing from the plan:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"chunked asof must not plan a quadratic join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), s"bounds/carry joins should broadcast:\n${p.take(1500)}")
+    // hot-key windows are partitioned by (user_id, _chunk) — the whole point
+    assert(p.linesIterator.exists(l => l.contains("Window") || l.contains("RunningWindowFunction")),
+      "carry window missing")
+  }
+
+  test("pruned probe pushes the batch's band keys into the STORED keys scan") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_keys").toString
+    Dedup.explodedBandKeys(corpusSigs).write.parquet(s"$dir/keys")
+    val storedKeys = spark.read.parquet(s"$dir/keys")
+    val incoming = docs.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 900000).as("doc_id"), concat(col("text"), lit(" qz")).as("text"))
+    val prev = spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+    try {
+      val pairs = Dedup.minhashPairsAgainstSignatures(
+        corpusSigs, Dedup.minhashSignatures(incoming, "doc_id", "text"),
+        0.7, Dedup.DefaultMaxBucket, Some(storedKeys), pruneBandKeysLimit = 100000)
+      val p = plan(pairs)
+      val scanLine = p.linesIterator
+        .filter(l => l.contains("PushedFilters") && l.contains("band_key")).mkString
+      assert(scanLine.contains("In(band_key"),
+        s"batch band keys not pushed into the stored keys scan:\n$scanLine")
+    } finally spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
+  }
 }
