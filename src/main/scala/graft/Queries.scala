@@ -484,6 +484,31 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Deterministic stratified sampling ([[ops.Sampling]]): event_type
+    * strata at different keep rates, membership a pure function of
+    * md5(event_id) — reruns, retries, and repartitioning never move a row
+    * in or out. Oracle: the IDENTICAL hex-prefix predicate in DuckDB
+    * (fixed-width lowercase hex compares lexicographically as numbers, so
+    * no integer-conversion dialect differences exist to diverge on).
+    */
+  def q53StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
+        Map("click" -> 0.02, "purchase" -> 0.5), defaultRate = 0.1)
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+
+  /** Reproducible train/val/test split assignment by disjoint hash ranges
+    * ([[ops.Sampling.splitAssign]]) — a row's split is a pure function of
+    * its key; no stored split table, no row in two splits. Oracle: the
+    * same CASE chain over md5 hex prefixes in DuckDB.
+    */
+  def q54SplitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(ops.Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .orderBy("split")
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -928,7 +953,9 @@ object Queries {
     "q49_prune_by_score" -> (q49PruneByScore _),
     "q50_asof_skew_safe" -> (q50AsofSkewSafe _),
     "q51_pruned_incremental_dedup" -> (q51PrunedIncrementalDedup _),
-    "q52_asof_nearest" -> (q52AsofNearest _)
+    "q52_asof_nearest" -> (q52AsofNearest _),
+    "q53_stratified_sample" -> (q53StratifiedSample _),
+    "q54_split_assign" -> (q54SplitAssign _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1398,6 +1425,24 @@ object Queries {
                   FROM c JOIN p USING (user_id))
          SELECT c.event_id, cand.purchase_id, cand.pts AS purchase_ts
          FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "q53_stratified_sample" ->
+      // thresholds = floor(rate * 2^32) as 8-char lowercase hex — computed
+      // once, hardcoded identically on both sides (0.02/0.5/0.1)
+      """SELECT event_id, event_type FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) <
+               CASE WHEN event_type = 'purchase' THEN '80000000'
+                    WHEN event_type = 'click' THEN '051eb851'
+                    ELSE '19999999' END
+         ORDER BY 1""",
+    "q54_split_assign" ->
+      // cuts 0.8/0.9/1.0 → cccccccc / e6666666 / ffffffff
+      """WITH s AS (SELECT CASE
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'ffffffff' THEN 'test'
+                    END AS split
+                    FROM documents)
+         SELECT split, count(*) AS n FROM s GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for dataset curation — the
+  * training-pipeline requirement `df.sample()` cannot meet: `rand()`-based
+  * sampling changes membership on every run/retry/partitioning, which
+  * breaks caching, A/B comparisons, and incremental rebuilds. Here
+  * membership is a PURE function of the row's key: re-running the
+  * pipeline, adding executors, or re-partitioning never moves a row in or
+  * out of the sample, and an arriving batch can be sampled consistently
+  * with the corpus without any stored state (same stateless-signature
+  * philosophy as [[Dedup.minhashSignatures]]).
+  *
+  * Mechanism: the first 8 hex chars of md5(key) compared against a hex
+  * threshold string. Lexicographic order of fixed-width lowercase hex IS
+  * numeric order ('0'-'9' < 'a'-'f' in ASCII), so `md5hex8 < "40000000"`
+  * keeps exactly the keys whose 32-bit hash fraction is < 0.25 — and the
+  * SAME predicate is expressible verbatim in any engine with md5
+  * (DuckDB-parity oracled in q53 without any integer-conversion dialect
+  * differences). md5 here is a uniform hash, not a security boundary.
+  *
+  * Scale shape: a narrow per-row projection + filter — codegen'd,
+  * shuffle-free, pushes nothing but reads only the key column beyond the
+  * caller's projection. Sampling 10^12 rows is exactly one scan.
+  */
+object Sampling {
+
+  /** Hex-threshold membership: keep iff hashFraction(key, salt) < rate. */
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val v = math.min((rate * 4294967296.0).toLong, 4294967295L)
+    f"$v%08x"
+  }
+
+  /** The first 8 md5-hex chars of (key, salt) — fixed-width lowercase, so
+    * string comparison is numeric comparison of the 32-bit hash prefix.
+    * `salt` decouples independent samples over the same keys.
+    */
+  def hashPrefix(key: Column, salt: String = ""): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  /** Deterministic Bernoulli sample at `rate` keyed on `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double, salt: String = ""): DataFrame =
+    df.filter(hashPrefix(col(keyCol), salt) < lit(hexThreshold(rate)))
+
+  /** Per-stratum rates (unlisted strata get `defaultRate`): the downsample-
+    * the-majority-class / rebalance-by-source staple. Rates compile to a
+    * single when-chain — no join, no shuffle, one codegen'd predicate.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = ""
+  ): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) { case (acc, (stratum, rate)) =>
+      when(col(stratumCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hashPrefix(col(keyCol), salt) < threshold)
+  }
+
+  /** Assign every row a split label ("train"/"val"/"test"/…) by disjoint
+    * hash ranges — the reproducible train/val/test split: a row's split is
+    * a pure function of its key, so later pipeline runs (or other teams)
+    * reproduce the identical partition with no stored split table, and no
+    * row is ever in two splits. Fractions must sum to ≤ 1; any remainder
+    * maps to null (excluded rows).
+    */
+  def splitAssign(key: Column, fractions: Seq[(String, Double)], salt: String = ""): Column = {
+    require(fractions.nonEmpty, "at least one split")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val prefix = hashPrefix(key, salt)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.zip(cuts).foldRight(lit(null).cast("string")) { case (((name, _), cut), acc) =>
+      when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
+    }
+  }
+}

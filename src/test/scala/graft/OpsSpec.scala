@@ -558,6 +558,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic sampling ≡ md5 reference; splits disjoint-exhaustive; repartition-invariant") {
+    import graft.ops.Sampling
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def refKeep(key: Long, rate: Double): Boolean =
+      md5hex8(key.toString) < f"${(rate * 4294967296.0).toLong}%08x"
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 3 == 0) "a" else "b")).toDF("id", "stratum")
+    // plain Bernoulli vs the reference predicate, exact membership
+    val got = Sampling.deterministicSample(df, "id", 0.25).select("id").as[Long].collect().toSet
+    val want = (0 until n).map(_.toLong).filter(refKeep(_, 0.25)).toSet
+    assert(got == want, s"sample membership diverged: ${got.diff(want).take(5)}/${want.diff(got).take(5)}")
+    assert(math.abs(got.size.toDouble / n - 0.25) < 0.05, s"rate off: ${got.size}")
+    // repartition-invariance (pure function of the key)
+    val got2 = Sampling.deterministicSample(df.repartition(13), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == got)
+    // stratified: per-stratum thresholds, unlisted strata get the default
+    val strat = Sampling.stratifiedSample(df, "id", "stratum", Map("a" -> 0.5), defaultRate = 0.05)
+      .select("id", "stratum").as[(Long, String)].collect()
+    strat.foreach { case (id, st) =>
+      assert(refKeep(id, if (st == "a") 0.5 else 0.05), s"row $id/$st kept against its stratum rate")
+    }
+    val wantStrat = (0 until n).count(i => refKeep(i.toLong, if (i % 3 == 0) 0.5 else 0.05))
+    assert(strat.length == wantStrat)
+    // salt decouples samples
+    val salted = Sampling.deterministicSample(df, "id", 0.25, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(salted != got, "salt must produce a different sample")
+    // splits: every row exactly one label; fractions roughly honored
+    val splits = df.select(col("id"),
+      Sampling.splitAssign(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("sp"))
+      .as[(Long, String)].collect()
+    assert(splits.length == n && splits.forall(_._2 != null), "split must be exhaustive")
+    val byLabel = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.05, byLabel.toString)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+  }
+
   test("asof nearest ≡ driver-side reference (ties to the past; tolerance gates both directions)") {
     import graft.ops.AsofJoin
     val rnd = new scala.util.Random(29)
