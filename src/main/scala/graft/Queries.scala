@@ -431,11 +431,13 @@ object Queries {
   }
 
   /** q42 routed through the SKEW-SAFE chunked-carry path: splitHotKeys on
-    * with a share threshold low enough that every user key routes hot, so
-    * the driver's oracle (the SAME DuckDB ASOF as q42) grades the quantile
-    * time-chunking + boundary-carry machinery end to end, timestamps
-    * included — results must be bit-identical to the plain single-window
-    * plan (round-5 hot-key work).
+    * with a share threshold low enough that every key the frequent-items
+    * sketch can resolve (top ~maxMapSize=1024 by share) routes hot, while
+    * lower-share users take the plain window — so the driver's oracle (the
+    * SAME DuckDB ASOF as q42) grades the quantile time-chunking +
+    * boundary-carry machinery AND the hot/cold union seam end to end,
+    * timestamps included; results must be bit-identical to the plain
+    * single-window plan (round-5 hot-key work).
     */
   def q50AsofSkewSafe(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -508,6 +510,17 @@ object Queries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
       .groupBy("split").agg(count(lit(1)).as("n"))
       .orderBy("split")
+
+  /** Deterministic k-per-stratum subset ([[ops.Sampling.sampleKPerStratum]]):
+    * the 7 smallest-hash events of each event_type — a fixed-size balanced
+    * sample stable under reruns and corpus growth. Oracle: the identical
+    * row_number-over-md5-prefix selection in DuckDB.
+    */
+  def q55SampleKPerStratum(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.sampleKPerStratum(
+        t(s, dir, "events").filter(col("event_type").isNotNull).select("event_id", "event_type"),
+        "event_id", "event_type", k = 7)
+      .orderBy("event_type", "event_id")
 
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
@@ -955,7 +968,8 @@ object Queries {
     "q51_pruned_incremental_dedup" -> (q51PrunedIncrementalDedup _),
     "q52_asof_nearest" -> (q52AsofNearest _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
-    "q54_split_assign" -> (q54SplitAssign _)
+    "q54_split_assign" -> (q54SplitAssign _),
+    "q55_sample_k_per_stratum" -> (q55SampleKPerStratum _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1443,6 +1457,13 @@ object Queries {
                       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'ffffffff' THEN 'test'
                     END AS split
                     FROM documents)
-         SELECT split, count(*) AS n FROM s GROUP BY 1 ORDER BY 1"""
+         SELECT split, count(*) AS n FROM s GROUP BY 1 ORDER BY 1""",
+    "q55_sample_k_per_stratum" ->
+      """WITH r AS (SELECT event_id, event_type,
+                           row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rk
+                    FROM events WHERE event_type IS NOT NULL)
+         SELECT event_id, event_type FROM r WHERE rk <= 7 ORDER BY 2, 1"""
   )
 }

@@ -293,7 +293,14 @@ object AsofJoin {
           unioned.select(kh.as("_kh")), "_kh", minShare = hotKeyShare)
         if (hotHashes.isEmpty) windowCarry(unioned)
         else {
-          val isHot = kh.isin(hotHashes: _*)
+          // Null-key left rows must stay on the COLD path: xxhash64 skips
+          // null children, so an all-null key hashes to a constant that a
+          // large null population gets detected as "hot" — but
+          // chunkedCarry's inner bounds-join on the keys would then drop
+          // those rows (null never equi-joins), while the left-outer
+          // contract says they survive with a null payload.
+          val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+          val isHot = !nullKey && kh.isin(hotHashes: _*)
           windowCarry(unioned.filter(!isHot)).unionByName(chunkedCarry(unioned.filter(isHot)))
         }
       }

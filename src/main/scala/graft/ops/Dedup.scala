@@ -171,9 +171,11 @@ object Dedup {
     * frame — what a STORED corpus keys table holds so the per-batch probe
     * join reads scan columns directly (a band_key filter can then reach the
     * parquet reader; keys packed in the `bands` array sit above a Generate
-    * no filter crosses). Store it range-clustered by (band_idx, band_key)
-    * via `Maintenance.compact(..., clusterBy = Seq("band_idx", "band_key"))`
-    * and each file covers a narrow key range for min/max row-group skipping.
+    * no filter crosses). Store it range-clustered by band_key — band_key
+    * PRIMARY, via `Maintenance.compact(..., clusterBy = Seq("band_key"))`:
+    * the pushed probe filter is on band_key alone, so a band_idx-first
+    * sort leaves every file a full-range band_key span and min/max stats
+    * skip nothing (measured — BASELINE.md §3.5).
     */
   def explodedBandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))

@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hex-threshold membership: keep iff hashFraction(key, salt) < rate. */
+  /** Hex-threshold membership: keep iff hashFraction(key, salt) < rate.
+    * Note rate = 1.0 maps to "ffffffff", which excludes the single prefix
+    * value "ffffffff" (2^-32 of keys) — a parity-preserving simplification
+    * (the oracle computes the identical predicate); full inclusion is
+    * `df` itself, not a sample.
+    */
   private def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
     val v = math.min((rate * 4294967296.0).toLong, 4294967295L)
@@ -63,6 +68,34 @@ object Sampling {
     df.filter(hashPrefix(col(keyCol), salt) < threshold)
   }
 
+  /** Deterministic k-per-stratum subset: the k rows of each stratum with
+    * the SMALLEST key hashes — a fixed-size balanced sample (eval-set
+    * drawing, per-source caps) that is stable under reruns AND under
+    * corpus growth in the same sense as a reservoir: a new row enters a
+    * stratum's sample only by displacing the largest-hash member, so
+    * samples drawn at different corpus sizes agree on their overlap.
+    * One shuffle on the stratum (the unavoidable one); ties on identical
+    * hash break by the key itself, so selection is total and
+    * deterministic even with adversarial keys.
+    */
+  def sampleKPerStratum(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("_sample_rank"),
+      "sampleKPerStratum reserves working column _sample_rank — rename before sampling")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashPrefix(col(keyCol), salt), col(keyCol))
+    df.withColumn("_sample_rank", row_number().over(w))
+      .filter(col("_sample_rank") <= k)
+      .drop("_sample_rank")
+  }
+
   /** Assign every row a split label ("train"/"val"/"test"/…) by disjoint
     * hash ranges — the reproducible train/val/test split: a row's split is
     * a pure function of its key, so later pipeline runs (or other teams)
@@ -75,7 +108,11 @@ object Sampling {
     val total = fractions.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
     val prefix = hashPrefix(key, salt)
+    // clamp: sequential FP summation of fractions that legitimately sum to
+    // 1 can land at 1.0000000000000002, which would fail hexThreshold's
+    // domain check
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(math.min(_, 1.0))
     fractions.zip(cuts).foldRight(lit(null).cast("string")) { case (((name, _), cut), acc) =>
       when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
     }

@@ -182,11 +182,17 @@ object Similarity {
         tag: String = "ivf"
     ): graft.table.Manifest = {
       import spark.implicits._
-      val aPath = log.dataDir(s"$tag-assignments", "ivf_assignments")
+      // Sequence-stamped dirs: committed data must stay immutable — a
+      // re-save with the SAME tag (weekly refit) must not clobber files
+      // older manifests still reference (time travel + concurrent
+      // readers). A crash-before-commit retry reuses its own seq and
+      // overwrites only its own uncommitted files.
+      val seq = log.head.map(_.sequence + 1).getOrElse(1L)
+      val aPath = log.dataDir(f"$tag%s-$seq%08d-assignments", "ivf_assignments")
       index.assigned.write.mode("overwrite").parquet(aPath)
       val cDf = index.centroids.toSeq.map { case (b, c) => (b, c.toSeq) }
         .toDF("bucket", "centroid")
-      val cPath = log.dataDir(s"$tag-centroids", "ivf_centroids")
+      val cPath = log.dataDir(f"$tag%s-$seq%08d-centroids", "ivf_centroids")
       cDf.coalesce(1).write.mode("overwrite").parquet(cPath)
       log.commit(graft.table.Manifest(
         snapshotId = "", sequence = 0L, parentId = log.head.map(_.snapshotId),
@@ -195,6 +201,9 @@ object Similarity {
         tables = Map("ivf_assignments" -> Seq(aPath), "ivf_centroids" -> Seq(cPath)),
         metrics = Map("n_centroids" -> index.centroids.length.toLong),
         sketches = Map.empty, createdAtMs = System.currentTimeMillis(),
+        // a refit REPLACES the index: without this, readTable would union
+        // the new assignments with every previous save's
+        tablesReplaced = Seq("ivf_assignments", "ivf_centroids"),
         tableSchemas = Map(
           "ivf_assignments" -> index.assigned.schema.json,
           "ivf_centroids" -> cDf.schema.json)))

@@ -81,9 +81,10 @@ final class IncrementalDedup(
     * in the SAME commit as [[SigTable]]: band keys as scan columns admit
     * the pushed `isin` probe filter ([[Dedup.minhashPairsAgainstSignatures]]'
     * pruneBandKeysLimit), which the packed `bands` array cannot (no filter
-    * crosses the Generate). [[compactSignatures]] range-clusters it by
-    * (band_idx, band_key) so each file covers a narrow key range and the
-    * probe's min/max row-group skipping goes from rows to files.
+    * crosses the Generate). [[compactSignatures]] range-clusters it
+    * band_key-PRIMARY so each file covers a narrow key range and the
+    * probe's min/max row-group skipping goes from rows to files (a
+    * band_idx-first sort defeats it — BASELINE.md §3.5).
     */
   val KeysTable = "dedup_keys"
   private val follower = new SnapshotFollower(docLog, docTable, cursorDir, conf)

@@ -197,6 +197,13 @@ class OpsSpec extends SparkSpec {
     assert(collect(shuffled) == direct)
     assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "forced-shuffle probe still broadcast")
+    // a re-save (weekly refit) REPLACES the stored index atomically: new
+    // sequence-stamped dirs (old snapshots keep their files), tablesReplaced
+    // stops the chain walk (no unioned duplicate assignments)
+    Similarity.IvfIndex.save(spark, log, ivf)
+    val resaved = Similarity.IvfIndex.load(spark, log)
+    assert(resaved.assigned.count() == reloaded.assigned.count(), "re-save doubled the assignments")
+    assert(collect(resaved.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3)) == direct)
     // a 10^5-query panel completes through the shuffle path (the shape that
     // would exceed the broadcast limit at production query counts)
     val wide = (0 until 100000).map(_.toLong).toDF("qid")
@@ -597,6 +604,32 @@ class OpsSpec extends SparkSpec {
     val byLabel = splits.groupBy(_._2).view.mapValues(_.length).toMap
     assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.05, byLabel.toString)
     assert(byLabel.keySet == Set("train", "val", "test"))
+    // k-per-stratum: exactly the k smallest-hash keys of each stratum
+    val k5 = Sampling.sampleKPerStratum(df, "id", "stratum", 5)
+      .select("id", "stratum").as[(Long, String)].collect()
+    assert(k5.groupBy(_._2).forall(_._2.length == 5))
+    val wantA = (0 until n).filter(_ % 3 == 0).map(_.toLong)
+      .sortBy(id => (md5hex8(id.toString), id)).take(5).toSet
+    assert(k5.filter(_._2 == "a").map(_._1).toSet == wantA)
+    // reservoir-style growth stability: new rows enter only by displacing
+    // the largest-hash members — recompute over the grown corpus agrees
+    // with the closed-form selection
+    val grown = df.unionByName((n until n + 500).map(i => (i.toLong, "a")).toDF("id", "stratum"))
+    val k5g = Sampling.sampleKPerStratum(grown, "id", "stratum", 5)
+      .filter(col("stratum") === "a").select("id").as[Long].collect().toSet
+    val wantGrown = ((0 until n).filter(_ % 3 == 0).map(_.toLong) ++ (n until n + 500).map(_.toLong))
+      .sortBy(id => (md5hex8(id.toString), id)).take(5).toSet
+    assert(k5g == wantGrown)
+    // FP-hostile fractions that legitimately sum to 1 must not crash
+    // (sequential double sum of these = 1.0000000000000002)
+    val fp = df.select(Sampling.splitAssign(col("id"),
+      Seq("a" -> 0.19, "b" -> 0.4, "c" -> 0.3, "d" -> 0.11)).as("sp"))
+      .as[String].collect()
+    assert(fp.length == n && fp.forall(_ != null))
+    // reserved working column is rejected, not silently clobbered
+    val e = intercept[IllegalArgumentException](
+      Sampling.sampleKPerStratum(df.withColumn("_sample_rank", lit(1)), "id", "stratum", 3))
+    assert(e.getMessage.contains("_sample_rank"))
   }
 
   test("asof nearest ≡ driver-side reference (ties to the past; tolerance gates both directions)") {
@@ -656,6 +689,16 @@ class OpsSpec extends SparkSpec {
         assert(plan.contains("_chunk"), "hot key did not route through the chunked carry")
       }
     }
+    // a large NULL-key left population hashes to one constant and gets
+    // detected "hot" — it must stay on the cold path and survive with null
+    // payloads (the chunked path's inner bounds-join would drop it)
+    val nullL = ((0 until 200).map(i => (i.toLong, Option.empty[String], 5L)) :+
+      ((999L, Option("hot"), 5L))).toDF("id", "k", "t")
+    val gotNullKeys = AsofJoin.backward(nullL, R, Seq("k"), "t", "rt",
+        None, splitHotKeys = true, hotKeyShare = 0.05, hotKeyChunks = 4)
+      .select("id", "p").as[(Long, Option[Long])].collect().toMap
+    assert(gotNullKeys.size == 201, s"null-key left rows dropped: ${gotNullKeys.size}")
+    assert((0 until 200).forall(i => gotNullKeys(i.toLong).isEmpty), "null key must never match")
   }
 
   test("json intake: malformed rows surface as corrupt with raw payload, parsed rows extract fields") {
