@@ -76,6 +76,29 @@ object ConstraintRegistry {
   def of(sets: ConstraintSet*): ConstraintRegistry =
     ConstraintRegistry(sets, sets.map(cs => cs.version -> cs.version).toMap)
 
+  /** DECLARATION-ORDERED registry — full reference parity for overlapping
+    * regex routes: stream-config tests regexes in declaration order
+    * (/root/reference/lib/event-util.js:89-97 over
+    * test/schemas/stream-config.test.yaml), which a Scala `Map` cannot
+    * carry (the case-class constructor therefore orders slash-keys
+    * lexicographically, documented divergence). This factory keeps every
+    * slash-wrapped key exactly where it was declared in `routes` — the
+    * first matching regex wins, as in the reference.
+    */
+  def ordered(
+      sets: Seq[ConstraintSet],
+      routes: Seq[(String, String)],
+      baseUris: Seq[String] = Nil,
+      uriExtension: String = ""
+  ): ConstraintRegistry = {
+    def isRegexKey(k: String) = k.length >= 2 && k.startsWith("/") && k.endsWith("/")
+    val (regex, exact) = routes.partition { case (k, _) => isRegexKey(k) }
+    require(exact.map(_._1).distinct.size == exact.size,
+      s"duplicate exact route keys: ${exact.map(_._1).diff(exact.map(_._1).distinct).distinct}")
+    ConstraintRegistry(sets, exact.toMap,
+      regex.map { case (k, v) => (k.substring(1, k.length - 1), v) }, baseUris, uriExtension)
+  }
+
   /** Stream-name extraction + sanitization parity
     * (/root/reference/lib/factories/default-eventgate.js:132-152): prefer an
     * explicit stream field, else the schema URI with `[^A-Za-z0-9_.-]` → `_`

@@ -204,6 +204,29 @@ class MultiStreamSpec extends SparkSpec {
     assert(status("c") == Status.Error)
   }
 
+  test("ConstraintRegistry.ordered: overlapping regexes resolve in DECLARATION order (event-util.js:89-97 parity)") {
+    // Two regexes both matching "mediawiki.revision_create": the reference
+    // tests stream-config entries in declaration order, so whichever is
+    // declared first must win — and reversing the declaration flips it.
+    def reg(firstBroad: Boolean) = ConstraintRegistry.ordered(
+      Seq(strictSet, laxSet),
+      routes =
+        if (firstBroad) Seq("/^mediawiki\\..+/" -> "doc/1.0.0", "/revision/" -> "doc/2.0.0")
+        else Seq("/revision/" -> "doc/2.0.0", "/^mediawiki\\..+/" -> "doc/1.0.0")
+    )
+    assert(reg(firstBroad = true).resolve("mediawiki.revision_create").map(_.version).contains("doc/1.0.0"))
+    assert(reg(firstBroad = false).resolve("mediawiki.revision_create").map(_.version).contains("doc/2.0.0"))
+    // exact keys still beat every regex regardless of declaration position
+    val withExact = ConstraintRegistry.ordered(
+      Seq(strictSet, laxSet),
+      routes = Seq("/^mediawiki\\..+/" -> "doc/1.0.0", "mediawiki.special" -> "doc/2.0.0"))
+    assert(withExact.resolve("mediawiki.special").map(_.version).contains("doc/2.0.0"))
+    // duplicate exact keys are rejected loudly
+    val e = intercept[IllegalArgumentException](ConstraintRegistry.ordered(
+      Seq(strictSet), routes = Seq("s" -> "doc/2.0.0", "s" -> "doc/2.0.0")))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("base-URI fallback resolution chain (uriGetFirstObject, default-eventgate.js:167-189)") {
     // Routes registered under fully-resolved URIs; events carry relative
     // schema paths. Resolution tries each base in order + appends the file
