@@ -197,6 +197,17 @@ class PlanSpec extends SparkSpec {
       "carry window missing")
   }
 
+  test("deterministic sampling is one codegen'd scan + filter: no shuffle, no UDF") {
+    val df = Queries.q53StratifiedSample(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      "sampling must not use a UDF (md5/substr are built-ins)")
+    // membership is a per-row predicate — the only exchange is the final
+    // presentation orderBy's range partitioning, never a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"), s"sampling shuffled:\n${p.take(1200)}")
+  }
+
   test("pruned probe pushes the batch's band keys into the STORED keys scan") {
     import graft.ops.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
