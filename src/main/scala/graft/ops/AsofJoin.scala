@@ -95,7 +95,11 @@ object AsofJoin {
     * SAME (keys)-partitioned (time, side) sort, so Spark evaluates them in
     * one Window operator — still ONE shuffle + sort of |L|+|R|.
     * `tolerance` bounds the absolute distance of the CHOSEN candidate
-    * (both-direction gate, merge_asof semantics).
+    * (both-direction gate, merge_asof semantics; the farther direction's
+    * candidate can never be within tolerance when the nearer is not, so
+    * gating after choosing is exact). Hot keys: nearest has no
+    * splitHotKeys variant yet — split the key upstream, or use
+    * backward/forward with splitHotKeys when one direction suffices.
     */
   def nearest(
       left: DataFrame,
@@ -233,7 +237,10 @@ object AsofJoin {
       * so the ≥/≤ tie semantics are preserved exactly; a hot spot at ONE
       * instant is the only unsplittable residue. Needs `_t` castable to
       * double (numeric or TIMESTAMP; TIMESTAMP_NTZ callers pre-convert via
-      * unix_micros).
+      * unix_micros). Cost note: the hot subset is scanned three times
+      * (bounds, carry, summaries) — it is by definition a small key set
+      * but can be many rows; if the upstream scan dominates, persist or
+      * checkpoint the inputs before joining.
       */
     def chunkedCarry(df: DataFrame): DataFrame = {
       val keyCols = keys.map(col)
