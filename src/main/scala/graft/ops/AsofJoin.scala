@@ -97,9 +97,11 @@ object AsofJoin {
     * `tolerance` bounds the absolute distance of the CHOSEN candidate
     * (both-direction gate, merge_asof semantics; the farther direction's
     * candidate can never be within tolerance when the nearer is not, so
-    * gating after choosing is exact). Hot keys: nearest has no
-    * splitHotKeys variant yet — split the key upstream, or use
-    * backward/forward with splitHotKeys when one direction suffices.
+    * gating after choosing is exact). `splitHotKeys` routes hot keys
+    * through the same quantile-chunked carry as backward/forward, with
+    * BOTH boundary extremes summarized per chunk — one hot key spreads
+    * over hotKeyChunks tasks and the plain/chunked paths are
+    * result-identical (differential-tested).
     */
   def nearest(
       left: DataFrame,
@@ -107,14 +109,19 @@ object AsofJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None
+      tolerance: Option[Column] = None,
+      splitHotKeys: Boolean = false,
+      hotKeyShare: Double = 0.05,
+      hotKeyChunks: Int = 32
   ): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
+    require(hotKeyChunks > 1, "hotKeyChunks must be > 1")
     val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftCols = left.columns.toSeq
     val overlap = payloadCols.toSet.intersect(leftCols.toSet)
     require(overlap.isEmpty, s"right payload columns collide with left columns: $overlap — rename before joining")
-    val reserved = Set("_t", "_side", "_payload", "_mb", "_mf", "_matched")
+    val reserved = Set("_t", "_side", "_payload", "_mb", "_mf", "_matched",
+      "_kh", "_bounds", "_chunk", "_bB", "_bF", "_carryB", "_carryF")
       .intersect((leftCols ++ right.columns).toSet)
     require(reserved.isEmpty, s"asof join reserves working columns $reserved — rename before joining")
 
@@ -137,14 +144,76 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
+    // Both carries in one window pass over the same (keys[, chunk]) sort.
+    def bothCarries(df: DataFrame, extraPart: Seq[Column] = Seq.empty): DataFrame = {
+      val base = Window.partitionBy(keys.map(col) ++ extraPart: _*).orderBy(col("_t"), col("_side"))
+      df.withColumn("_mb", last(col("_payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_mf", first(col("_payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("_side") === 1)
+    }
+
+    /** The chunked hot-key carry, dual-direction: same quantile time-chunks
+      * as joinImpl's, but each chunk's boundary summary holds BOTH extreme
+      * right rows (latest for the backward candidate, earliest for the
+      * forward one) and both carries patch their respective misses. A
+      * within-chunk candidate always beats the cross-chunk carry in its
+      * own direction (chunks are time-ordered), so coalesce is exact.
+      */
+    def chunkedBoth(df: DataFrame): DataFrame = {
+      val keyCols = keys.map(col)
+      val tNum = df.schema("_t").dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col("_t")).cast("double")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col("_t").cast("timestamp")).cast("double")
+        case _ => col("_t").cast("double")
+      }
+      val fracs = (1 until hotKeyChunks).map(i => lit(i.toDouble / hotKeyChunks))
+      val bounds = df.groupBy(keyCols: _*)
+        .agg(percentile_approx(tNum, array(fracs: _*), lit(1000)).as("_bounds"))
+      val withChunk = df.join(broadcast(bounds), keys)
+        .withColumn("_chunk",
+          aggregate(col("_bounds"), lit(0), (acc, b) => acc + when(tNum > b, 1).otherwise(0)))
+        .drop("_bounds")
+      val within = bothCarries(withChunk, Seq(col("_chunk")))
+      val summaries = withChunk.filter(col("_side") === 0)
+        .groupBy(keyCols :+ col("_chunk"): _*)
+        .agg(max_by(col("_payload"), col("_t")).as("_bB"),
+          min_by(col("_payload"), col("_t")).as("_bF"))
+      val domain = bounds.select(keyCols: _*)
+        .withColumn("_chunk", explode(sequence(lit(0), lit(hotKeyChunks - 1))))
+      val wC = Window.partitionBy(keyCols: _*).orderBy(col("_chunk"))
+      val carries = domain.join(summaries, keys :+ "_chunk", "left")
+        .withColumn("_carryB", last(col("_bB"), ignoreNulls = true)
+          .over(wC.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_carryF", first(col("_bF"), ignoreNulls = true)
+          .over(wC.rowsBetween(1, Window.unboundedFollowing)))
+        .select(keyCols ++ Seq(col("_chunk"), col("_carryB"), col("_carryF")): _*)
+      within.join(broadcast(carries), keys :+ "_chunk", "left")
+        .withColumn("_mb", coalesce(col("_mb"), col("_carryB")))
+        .withColumn("_mf", coalesce(col("_mf"), col("_carryF")))
+        .drop("_chunk", "_carryB", "_carryF")
+    }
+
+    val routed =
+      if (!splitHotKeys) bothCarries(unioned)
+      else {
+        val kh = xxhash64(keys.map(col): _*)
+        val hotHashes = graft.integrity.SkewJoin.detectHotLongKeys(
+          unioned.select(kh.as("_kh")), "_kh", minShare = hotKeyShare)
+        if (hotHashes.isEmpty) bothCarries(unioned)
+        else {
+          // null-key rows stay cold for the same reason as joinImpl's
+          val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+          val isHot = !nullKey && kh.isin(hotHashes: _*)
+          bothCarries(unioned.filter(!isHot)).unionByName(chunkedBoth(unioned.filter(isHot)))
+        }
+      }
+
     val guard = col(leftTime).isNotNull // null left time: no distance is defined
-    val withBoth = unioned
-      .withColumn("_mb", last(col("_payload"), ignoreNulls = true)
-        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("_mf", first(col("_payload"), ignoreNulls = true)
-        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .filter(col("_side") === 1)
+    val withBoth = routed
       .withColumn("_mb", when(guard, col("_mb")))
       .withColumn("_mf", when(guard, col("_mf")))
     val db = col(leftTime) - col(s"_mb.`$rightTime`")

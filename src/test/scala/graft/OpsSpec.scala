@@ -653,6 +653,11 @@ class OpsSpec extends SparkSpec {
       val got = AsofJoin.nearest(L, R, Seq("k"), "t", "rt", tol.map(lit(_)))
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
       assert(got == reference(tol), s"nearest mismatch at tolerance $tol")
+      // the chunked hot path (every key hot at minShare 0.01) must agree
+      val gotSplit = AsofJoin.nearest(L, R, Seq("k"), "t", "rt", tol.map(lit(_)),
+          splitHotKeys = true, hotKeyShare = 0.01, hotKeyChunks = 4)
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      assert(gotSplit == reference(tol), s"nearest chunked mismatch at tolerance $tol")
     }
     // null left time: no distance is defined, never a match
     val leftNullT = Seq((1L, "k0", Some(10L)), (7L, "k0", Option.empty[Long])).toDF("id", "k", "t")
