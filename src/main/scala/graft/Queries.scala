@@ -522,6 +522,63 @@ object Queries {
         "event_id", "event_type", k = 7)
       .orderBy("event_type", "event_id")
 
+  /** q52 routed through the SKEW-SAFE dual-carry chunked path (the q50
+    * pattern applied to [[ops.AsofJoin.nearest]]): splitHotKeys with a
+    * share threshold low enough that every sketch-resolvable key routes
+    * hot, so the SAME closed-form DuckDB argmin oracle as q52 grades the
+    * dual boundary summaries (max_by + min_by per chunk), both cross-chunk
+    * carries, and the hot/cold union seam — the chunked nearest plan must
+    * be bit-identical to the plain single-window one.
+    */
+  def q56AsofNearestSkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.nearest(clicks, purchases, Seq("user_id"), "ts", "pts",
+      splitHotKeys = true, hotKeyShare = 1e-6, hotKeyChunks = 8)
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of with a tolerance gate (pandas merge_asof
+    * direction='nearest' + tolerance): the closest purchase in EITHER
+    * direction counts only within 24h — a too-distant nearest match is
+    * nulled, never replaced by the other direction's farther candidate.
+    * Oracle: q52's closed-form argmin with a CASE |Δt| ≤ 24h wrapper.
+    */
+  def q57AsofNearestTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max("event_id").as("purchase_id"))
+    ops.AsofJoin.nearest(clicks, purchases, Seq("user_id"), "ts", "pts",
+      tolerance = Some(expr("INTERVAL 24 HOURS")))
+      .select(col("event_id"), col("purchase_id"), col("pts").as("purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Exact substring-span dedup ([[ops.Dedup.substringSpanPairs]], the Lee
+    * et al. 2022 repeated-span mode): planted clones (a corpus slice
+    * re-appended with a 3-word tail) share every interior 5-word span with
+    * their originals, while the natural corpus contributes organic k=5
+    * overlaps only at the larger SF — the oracle reproduces the gram
+    * explosion + self-join exactly (the Spark side carries xxhash64(span)
+    * through the shuffle, pair-set-identical to the string join).
+    */
+  def q58SubstringSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val base = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val corpus = base.unionByName(
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz span tail")).as("text")))
+    ops.Dedup.substringSpanPairs(corpus, "doc_id", "text", k = 5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -969,7 +1026,10 @@ object Queries {
     "q52_asof_nearest" -> (q52AsofNearest _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_split_assign" -> (q54SplitAssign _),
-    "q55_sample_k_per_stratum" -> (q55SampleKPerStratum _)
+    "q55_sample_k_per_stratum" -> (q55SampleKPerStratum _),
+    "q56_asof_nearest_skew" -> (q56AsofNearestSkew _),
+    "q57_asof_nearest_tolerance" -> (q57AsofNearestTolerance _),
+    "q58_substring_span_dedup" -> (q58SubstringSpanDedup _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1450,11 +1510,14 @@ object Queries {
                     ELSE '19999999' END
          ORDER BY 1""",
     "q54_split_assign" ->
-      // cuts 0.8/0.9/1.0 → cccccccc / e6666666 / ffffffff
+      // cuts 0.8/0.9/1.0 → cccccccc / e6666666 / unconditional: a cut
+      // reaching 1.0 closes the domain, so the final split is the ELSE
+      // branch (the 'ffffffff' prefix — 2^-32 of keys — belongs to it,
+      // not to a null drop-bucket)
       """WITH s AS (SELECT CASE
                       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
                       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
-                      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'ffffffff' THEN 'test'
+                      ELSE 'test'
                     END AS split
                     FROM documents)
          SELECT split, count(*) AS n FROM s GROUP BY 1 ORDER BY 1""",
@@ -1464,6 +1527,59 @@ object Queries {
                              PARTITION BY event_type
                              ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rk
                     FROM events WHERE event_type IS NOT NULL)
-         SELECT event_id, event_type FROM r WHERE rk <= 7 ORDER BY 2, 1"""
+         SELECT event_id, event_type FROM r WHERE rk <= 7 ORDER BY 2, 1""",
+    "q56_asof_nearest_skew" ->
+      // identical oracle to q52: the dual-carry chunked hot-key plan must
+      // be result-identical to the plain single-window nearest plan
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+         cand AS (SELECT c.event_id, p.purchase_id, p.pts,
+                         row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY abs(epoch(c.ts) - epoch(p.pts)),
+                                    CASE WHEN p.pts <= c.ts THEN 0 ELSE 1 END) AS rk
+                  FROM c JOIN p USING (user_id))
+         SELECT c.event_id, cand.purchase_id, cand.pts AS purchase_ts
+         FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1
+         ORDER BY 1""",
+    "q57_asof_nearest_tolerance" ->
+      // q52's argmin with the |Δt| <= 24h gate on the CHOSEN candidate: a
+      // too-distant nearest match is nulled, never replaced by the other
+      // direction's farther row (merge_asof tolerance semantics)
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+         cand AS (SELECT c.event_id, p.purchase_id, p.pts,
+                         abs(epoch(c.ts) - epoch(p.pts)) AS adist,
+                         row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY abs(epoch(c.ts) - epoch(p.pts)),
+                                    CASE WHEN p.pts <= c.ts THEN 0 ELSE 1 END) AS rk
+                  FROM c JOIN p USING (user_id))
+         SELECT c.event_id,
+                CASE WHEN cand.adist <= 86400 THEN cand.purchase_id END AS purchase_id,
+                CASE WHEN cand.adist <= 86400 THEN cand.pts END AS purchase_ts
+         FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1
+         ORDER BY 1""",
+    "q58_substring_span_dedup" ->
+      // gram explosion at the same k=5: per-doc DISTINCT word 5-grams,
+      // self-join, pair counts + lexicographic sample span
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE text IS NOT NULL AND doc_id % 5 = 0
+                         UNION ALL
+                         SELECT doc_id + 2000000 AS doc_id, text || ' zz span tail' AS text
+                         FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0 AND doc_id < 100),
+         docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(w[gs:gs+4], ' ') AS g
+                   FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS gs) s
+                   WHERE len(w) >= 5)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared_spans, min(g) AS sample_span
+         FROM grams a JOIN grams b USING (g)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

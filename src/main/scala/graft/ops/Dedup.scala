@@ -216,7 +216,22 @@ object Dedup {
         val ks = incomingKeys.select("band_key").distinct()
           .limit(pruneBandKeysLimit + 1).collect().map(_.getLong(0))
         if (ks.length > pruneBandKeysLimit) corpusKeyRows
-        else corpusKeyRows.filter(col("band_key").isin(ks.toSeq: _*))
+        else {
+          // The prune's entire value is the PUSHED In(band_key) filter
+          // skipping parquet row groups, but Spark degrades an In wider
+          // than spark.sql.parquet.pushdown.inFilterThreshold (default 10)
+          // to a full-range min/max bound — correct, yet skipping nothing.
+          // Raise the session threshold to cover this key set (never
+          // lower it): a scaladoc requirement alone left the feature
+          // silently inert out of the box (round-5 advisory). Session-
+          // scoped runtime conf; pushdown is decided at execution, so the
+          // raised value is in force when the probe actually runs.
+          val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+          val spark = corpusKeyRows.sparkSession
+          val current = scala.util.Try(spark.conf.get(confKey).toInt).getOrElse(10)
+          if (current < ks.length) spark.conf.set(confKey, ks.length.toString)
+          corpusKeyRows.filter(col("band_key").isin(ks.toSeq: _*))
+        }
       }
     val cand = capBuckets(corpusPruned, Seq("band_idx", "band_key"), maxBucket, "lsh_buckets")
       .select(col("id").as("corpus_id"), col("band_idx"), col("band_key"))
@@ -232,6 +247,54 @@ object Dedup {
       .withColumn("jaccard", TextOps.jaccardSorted(col("sh_c"), col("sh_i")))
       .filter(col("jaccard") >= threshold)
       .select("corpus_id", "incoming_id", "jaccard")
+  }
+
+  /** Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": the repeated-k-token-span mode):
+    * document pairs sharing at least one EXACT k-word span, with the
+    * shared-span count and a deterministic sample span as evidence — the
+    * span-level mode the doc-level family (exact / MinHash / SimHash /
+    * semantic) cannot express: two documents embedding the same boilerplate
+    * paragraph inside otherwise different text.
+    *
+    * Scale shape: each document explodes to its DISTINCT k-word spans
+    * ([[TextOps.wordNgramsOf]] — words materialized once per row) and the
+    * exploded frame self-joins on the span key. With `hashedCarrier` the
+    * join key is xxhash64(span) — an 8-byte shuffle key instead of
+    * ~50-word strings (pair set hash-collision-exact at 2^-64); the span
+    * STRING rides only the a-side as payload for the sample. Ubiquitous
+    * spans (boilerplate present in more docs than `maxBucket`) would pair
+    * quadratically; whole buckets over the cap are dropped with an
+    * observable metric (`span_buckets` observation) — the capped-bucket
+    * discipline of [[minhashPairs]] applied to exact spans. Downstream:
+    * feed the pairs to [[connectedComponents]] + [[applyPrune]] for keeper
+    * selection, or use n_shared_spans as a span-mask-building signal.
+    *
+    * Returns (id_a, id_b, n_shared_spans, sample_span) with id_a < id_b;
+    * sample_span = the lexicographically smallest shared span.
+    */
+  def substringSpanPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      maxBucket: Int = DefaultMaxBucket,
+      hashedCarrier: Boolean = true
+  ): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 words: $k")
+    val spans = docs
+      .select(col(idCol).as("id"), TextOps.lowerWords(col(textCol)).as("_w"))
+      .select(col("id"), explode(TextOps.wordNgramsOf(col("_w"), k)).as("span"))
+    val keyed = spans.withColumn("g", if (hashedCarrier) xxhash64(col("span")) else col("span"))
+    // One capped frame self-joined (the observe node is the SAME subtree on
+    // both sides, so the metric name stays unique in the plan).
+    val capped = capBuckets(keyed, Seq("g"), maxBucket, "span_buckets")
+    capped.select(col("g"), col("id").as("id_a"), col("span"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      // per-doc spans are distinct, so join rows per pair = shared spans
+      .agg(count(lit(1)).as("n_shared_spans"), min("span").as("sample_span"))
   }
 
   /** Near-duplicate pairs of any 64-bit similarity signature: 4×16-bit band

@@ -103,18 +103,30 @@ object Sampling {
     * row is ever in two splits. Fractions must sum to ≤ 1; any remainder
     * maps to null (excluded rows).
     */
-  def splitAssign(key: Column, fractions: Seq[(String, Double)], salt: String = ""): Column = {
+  def splitAssign(key: Column, fractions: Seq[(String, Double)], salt: String = ""): Column =
+    splitAssignFromPrefix(hashPrefix(key, salt), fractions)
+
+  /** [[splitAssign]] over an already-computed [[hashPrefix]] column —
+    * factored out so the boundary cases (the literal "ffffffff" prefix, a
+    * null key) are directly testable without searching for a preimage.
+    */
+  private[graft] def splitAssignFromPrefix(prefix: Column, fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty, "at least one split")
     val total = fractions.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
-    val prefix = hashPrefix(key, salt)
     // clamp: sequential FP summation of fractions that legitimately sum to
     // 1 can land at 1.0000000000000002, which would fail hexThreshold's
     // domain check
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(math.min(_, 1.0))
     fractions.zip(cuts).foldRight(lit(null).cast("string")) { case (((name, _), cut), acc) =>
-      when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
+      // A cut that reaches 1.0 closes the domain: comparing against the
+      // clamped "ffffffff" threshold would map the keys whose hash prefix
+      // is exactly "ffffffff" (2^-32 of rows) to null — a "complete" split
+      // silently dropping rows. The final range is therefore unconditional
+      // for any hashed key (null keys still yield null: md5(null) is null).
+      if (cut >= 1.0) when(prefix.isNotNull, lit(name)).otherwise(acc)
+      else when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
     }
   }
 }

@@ -182,17 +182,24 @@ object Similarity {
         tag: String = "ivf"
     ): graft.table.Manifest = {
       import spark.implicits._
-      // Sequence-stamped dirs: committed data must stay immutable — a
+      // Collision-free dirs: committed data must stay immutable — a
       // re-save with the SAME tag (weekly refit) must not clobber files
       // older manifests still reference (time travel + concurrent
-      // readers). A crash-before-commit retry reuses its own seq and
-      // overwrites only its own uncommitted files.
+      // readers). The seq stamp alone is NOT unique: commit() supports
+      // concurrent writers (retry + re-parent), so two racing save()
+      // callers can read the same head and both write into the identical
+      // p-<tag>-<seq> path before committing — the loser's manifest would
+      // then reference the winner's files (round-5 advisory). A UUID
+      // component makes every save's dir private to that attempt; the seq
+      // stays for human-readable ordering. A crash-before-commit leaves an
+      // uncommitted (hence invisible) orphan dir, the standard trade.
       val seq = log.head.map(_.sequence + 1).getOrElse(1L)
-      val aPath = log.dataDir(f"$tag%s-$seq%08d-assignments", "ivf_assignments")
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val aPath = log.dataDir(f"$tag%s-$seq%08d-$nonce%s-assignments", "ivf_assignments")
       index.assigned.write.mode("overwrite").parquet(aPath)
       val cDf = index.centroids.toSeq.map { case (b, c) => (b, c.toSeq) }
         .toDF("bucket", "centroid")
-      val cPath = log.dataDir(f"$tag%s-$seq%08d-centroids", "ivf_centroids")
+      val cPath = log.dataDir(f"$tag%s-$seq%08d-$nonce%s-centroids", "ivf_centroids")
       cDf.coalesce(1).write.mode("overwrite").parquet(cPath)
       log.commit(graft.table.Manifest(
         snapshotId = "", sequence = 0L, parentId = log.head.map(_.snapshotId),

@@ -113,7 +113,13 @@ final class IncrementalDedup(
       throw new IllegalStateException("rebuildKeys: empty signature log"))
     require(sigLog.tablePaths(head, SigTable).nonEmpty, "rebuildKeys: no stored signatures")
     val keys = Dedup.explodedBandKeys(sigLog.readTable(spark, head, SigTable))
-    val dir = sigLog.dataDir(f"dedupkeys-rebuild-${head.sequence + 1}%08d", KeysTable)
+    // UUID component: two concurrent rebuildKeys (or a rebuild racing a
+    // step's commit) can read the same head and would otherwise share the
+    // seq-stamped dir — the loser's committed manifest then referencing the
+    // winner's files (same round-5 advisory as IvfIndex.save). A crashed
+    // attempt leaves an uncommitted, invisible orphan dir.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dir = sigLog.dataDir(f"dedupkeys-rebuild-${head.sequence + 1}%08d-$nonce%s", KeysTable)
     keys.write.mode("overwrite").parquet(dir)
     sigLog.commit(Manifest(
       snapshotId = "", sequence = 0L, parentId = Some(head.snapshotId),

@@ -204,10 +204,21 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     * checkpoint squash mixes true source partitions into `partitionsDelta`,
     * and [[checkpoint]] carries legacy ids forward under the "default"
     * identity key explicitly.
+    *
+    * Tag-collision guard (round-5 advisory): beyond [[dataDir]] reserving
+    * the bare `stream-<digits>` tag, recognition requires the FULL legacy
+    * shape — no `streamBatches` ledger (the pre-ledger writer predates the
+    * field) and EVERY data path of the commit under a `p-stream-<digits>`
+    * dir (the legacy writer tagged its whole delta that way). A modern
+    * batch commit that somehow carries one colliding hand-built path among
+    * its tables is NOT classified legacy, so a real micro-batch with the
+    * colliding id is never silently skipped (dropped data).
     */
-  private def isLegacyStreamDelta(c: Manifest): Boolean =
-    !c.checkpoint && c.partitionsDelta.nonEmpty &&
-      c.tables.values.flatten.exists(_.split('/').exists(_.matches("p-stream-\\d+")))
+  private def isLegacyStreamDelta(c: Manifest): Boolean = {
+    val paths = c.tables.values.flatten
+    !c.checkpoint && c.streamBatches.isEmpty && c.partitionsDelta.nonEmpty &&
+      paths.nonEmpty && paths.forall(_.split('/').exists(_.matches("p-stream-\\d+")))
+  }
 
   /** Micro-batch ids already committed under a streaming checkpoint
     * identity (union of deltas up the chain). Legacy pre-ledger stream
@@ -304,6 +315,31 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
       }
     }
 
+  /** Lost-update detection for filesystems whose rename OVERWRITES
+    * (POSIX local fs): exists(dest)+rename is check-then-act, so two
+    * PROCESSES can both claim sequence N and the first writer's manifest is
+    * silently replaced. After a successful rename, re-read dest and confirm
+    * OUR bytes survived — the overwritten loser sees foreign content and
+    * retries at the next sequence, so no committed manifest is ever lost
+    * (round-5 advisory). Byte equality is exact: identical racing payloads
+    * are indistinguishable but then the "lost" update is content-identical.
+    * On HDFS (the deployment target) rename onto an existing path fails
+    * outright and this check is a no-op read of our own file.
+    */
+  private[graft] def survivedRename(f: FileSystem, dest: Path, payload: Array[Byte]): Boolean =
+    try {
+      val len = f.getFileStatus(dest).getLen
+      if (len != payload.length) false
+      else {
+        val in = f.open(dest)
+        try {
+          val bytes = new Array[Byte](len.toInt)
+          in.readFully(bytes)
+          java.util.Arrays.equals(bytes, payload)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => false }
+
   /** Atomic commit: temp write + rename is the commit point. Sequence is
     * assigned here (head+1). A writer that loses the race re-reads HEAD and
     * retries at the next sequence (bounded attempts) — multi-writer
@@ -334,11 +370,12 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
         val stamped = m.copy(sequence = seq, snapshotId = f"snap-$seq%08d",
           parentId = if (m.checkpoint) m.parentId else h.map(_.snapshotId))
         val tmp = new Path(snapDir, s".tmp-${UUID.randomUUID()}.json")
+        val payload = mapper.writeValueAsString(stamped).getBytes(StandardCharsets.UTF_8)
         val out = f.create(tmp, false)
-        try out.write(mapper.writeValueAsString(stamped).getBytes(StandardCharsets.UTF_8))
+        try out.write(payload)
         finally out.close()
         val dest = manifestPath(seq)
-        if (!f.exists(dest) && f.rename(tmp, dest)) {
+        if (!f.exists(dest) && f.rename(tmp, dest) && survivedRename(f, dest, payload)) {
           // Refresh the process-wide cache under the new key: if this root
           // was deleted and re-created at the same path within one JVM
           // (tests, fixed bench dirs), a prior incarnation's manifest could

@@ -10,6 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * standard pattern for Spark-native libraries that ship their own
   * expressions (the alternative, SparkSessionExtensions.injectFunction,
   * requires controlling session construction, which a library cannot assume).
+  *
+  * VERSION PIN: `classic.ExpressionUtils` is Spark 4.1.x-internal (matching
+  * build.sbt's provided 4.1.2 jars). On a Spark upgrade, re-check
+  * `org.apache.spark.sql.classic.ExpressionUtils.{column, expression}`
+  * first; if moved/removed, fall back to registering each expression via
+  * `SparkSessionExtensions.injectFunction` (public, stable) and routing
+  * these two calls through `Column(functionName, args)` — the shim is the
+  * only file in the repo that touches a non-public Spark API.
   */
 object GraftFunctions {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)

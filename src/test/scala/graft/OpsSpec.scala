@@ -555,11 +555,11 @@ class OpsSpec extends SparkSpec {
 
     for (tol <- Seq(None, Some(5L), Some(0L)); fwd <- Seq(false, true)) {
       val join = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
-      val got = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32)
+      val got = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32, true)
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
       assert(got == reference(tol, fwd), s"asof mismatch at tolerance $tol forward=$fwd")
       // the chunked hot path must agree with the same reference
-      val gotSplit = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.01, 4)
+      val gotSplit = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.01, 4, true)
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
       assert(gotSplit == reference(tol, fwd), s"asof chunked mismatch at tolerance $tol forward=$fwd")
     }
@@ -682,9 +682,9 @@ class OpsSpec extends SparkSpec {
     val R = rightRows.toDF("k", "rt", "p")
     for (fwd <- Seq(false, true); tol <- Seq(None, Some(25L))) {
       val join = if (fwd) AsofJoin.forward _ else AsofJoin.backward _
-      val plain = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32)
+      val plain = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), false, 0.05, 32, true)
         .select("id", "p").as[(Long, Option[Long])].collect().toMap
-      val split = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.5, 8)
+      val split = join(L, R, Seq("k"), "t", "rt", tol.map(lit(_)), true, 0.5, 8, true)
       val got = split.select("id", "p").as[(Long, Option[Long])].collect().toMap
       assert(got == plain, s"splitHotKeys diverged (forward=$fwd tol=$tol)")
       if (!fwd && tol.isEmpty) {
@@ -752,5 +752,70 @@ class OpsSpec extends SparkSpec {
     val df = Seq((1L, "hello world of spark"), (2L, "hello world of spark"), (3L, "completely different")).toDF("id", "t")
     val fps = df.select(TextOps.fingerprint(col("t"))).as[Long].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("substring-span dedup: planted k-word span pairs exactly; hashed ≡ string carrier; cap drops whole buckets") {
+    val boiler = "the quick brown fox jumps over lazy dogs again" // 9 words → 5 distinct 5-grams
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"unrelated words here $boiler more tail words"),
+      (3L, "completely different text with no shared span at all whatsoever"),
+      (4L, "alpha beta gamma delta epsilon zeta") // shares <k consecutive words with 1
+    ).toDF("doc_id", "text")
+    // driver-side reference: shared distinct 5-gram sets
+    def grams(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      w.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val texts = Map(1L -> s"alpha beta $boiler gamma delta",
+      2L -> s"unrelated words here $boiler more tail words")
+    val shared = grams(texts(1L)).intersect(grams(texts(2L)))
+    val got = Dedup.substringSpanPairs(d, "doc_id", "text", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the planted pair may appear: ${got.keySet}")
+    assert(got((1L, 2L)) == ((shared.size.toLong, shared.min)),
+      s"count+sample must match the reference intersection: want (${shared.size}, ${shared.min}), got ${got((1L, 2L))}")
+    // hashed carrier ≡ string join
+    val gotStr = Dedup.substringSpanPairs(d, "doc_id", "text", k = 5, hashedCarrier = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(gotStr == got)
+    // a span present in more docs than maxBucket is dropped WHOLE-bucket
+    val many = (1L to 5L).map(i => (i, s"prefix$i filler $boiler suffix$i end")).toDF("doc_id", "text")
+    val capped = Dedup.substringSpanPairs(many, "doc_id", "text", k = 5, maxBucket = 4)
+    assert(capped.count() == 0, "all 5 docs share the spans: buckets of 5 > cap 4 must drop")
+    val uncapped = Dedup.substringSpanPairs(many, "doc_id", "text", k = 5, maxBucket = 5)
+    assert(uncapped.count() == 10, "C(5,2) pairs when the cap admits the bucket")
+  }
+
+  test("splitAssign: the ffffffff hash prefix belongs to the final split when fractions sum to 1") {
+    import graft.ops.Sampling
+    val prefixes = Seq(Some("00000000"), Some("cccccccb"), Some("cccccccc"),
+      Some("e6666665"), Some("fffffffe"), Some("ffffffff"), None).toDF("p")
+    val full = prefixes.select(Sampling.splitAssignFromPrefix(col("p"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("sp")).as[Option[String]].collect()
+    assert(full.toSeq == Seq(Some("train"), Some("train"), Some("val"),
+      Some("val"), Some("test"), Some("test"), None),
+      s"fractions summing to 1 must be exhaustive over non-null keys incl. the ffffffff prefix: ${full.toSeq}")
+    // fractions summing to <1: the remainder (incl. ffffffff) is excluded
+    val partial = prefixes.select(Sampling.splitAssignFromPrefix(col("p"),
+      Seq("train" -> 0.5)).as("sp")).as[Option[String]].collect()
+    assert(partial.toSeq == Seq(Some("train"), None, None, None, None, None, None))
+  }
+
+  test("pruned probe auto-raises the parquet In-pushdown threshold to cover the pushed key set") {
+    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.get(confKey)
+    try {
+      spark.conf.set(confKey, "10") // Spark's default — below any real key set
+      val corpus = docs.limit(30).select(col("doc_id"), col("text"))
+      val incoming = docs.limit(5)
+        .select((col("doc_id") + 7000000).as("doc_id"), concat(col("text"), lit(" yq")).as("text"))
+      val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      val incomingSigs = Dedup.minhashSignatures(incoming, "doc_id", "text")
+      Dedup.minhashPairsAgainstSignatures(corpusSigs, incomingSigs, threshold = 0.8,
+        corpusKeys = Some(Dedup.explodedBandKeys(corpusSigs)), pruneBandKeysLimit = 1000000)
+      val raised = spark.conf.get(confKey).toInt
+      assert(raised > 10, s"threshold must be raised above Spark's default to cover the In filter: $raised")
+    } finally spark.conf.set(confKey, prev)
   }
 }

@@ -50,6 +50,63 @@ class SnapshotSpec extends SparkSpec {
     log.dataDir("0_1_2", "annotated")
   }
 
+  test("a modern batch commit with a colliding p-stream-<digits> path is NOT a legacy stream delta") {
+    import graft.table.Manifest
+    // dataDir rejects the tag, but a caller could still hand-build such a
+    // path — legacy recognition must require the FULL pre-ledger shape
+    // (EVERY path under p-stream-<digits>, no streamBatches ledger), so a
+    // modern batch commit carrying one colliding path among its tables never
+    // marks batch 42 committed (it would be silently skipped otherwise).
+    val log = newLog()
+    log.commit(Manifest(
+      snapshotId = "", sequence = 0L, parentId = None,
+      constraintVersion = "img/1.0.0", partitionSpec = "batch",
+      partitionsDelta = Seq(42), complete = true,
+      tables = Map(
+        "annotated" -> Seq(s"${log.root}/data/p-stream-42/annotated"),
+        "rollups" -> Seq(s"${log.root}/data/p-batch7/rollups")),
+      metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = System.currentTimeMillis()))
+    assert(log.committedStreamBatches(log.head.get, "any-checkpoint").isEmpty,
+      "mixed-path batch commit must not be classified as a legacy stream delta")
+    // a commit that DOES carry a streamBatches ledger is new-format by
+    // definition, even if all its paths collide with the legacy tag shape
+    log.commit(Manifest(
+      snapshotId = "", sequence = 0L, parentId = Some(log.head.get.snapshotId),
+      constraintVersion = "img/1.0.0", partitionSpec = "stream",
+      partitionsDelta = Seq(7), complete = true,
+      tables = Map("annotated" -> Seq(s"${log.root}/data/p-stream-7/annotated")),
+      metrics = Map.empty, sketches = Map.empty,
+      createdAtMs = System.currentTimeMillis(),
+      streamBatches = Map("ckpt-a" -> Seq(7L))))
+    assert(log.committedStreamBatches(log.head.get, "ckpt-a") == Set(7L))
+    assert(log.committedStreamBatches(log.head.get, "other-ckpt").isEmpty,
+      "ledger ids are per-identity; partitionsDelta of a new-format commit must not leak as legacy ids")
+  }
+
+  test("commit lost-update detection: foreign bytes at dest fail the survived-rename check") {
+    // POSIX rename overwrites: two PROCESSES can both claim sequence N.
+    // The loser detects the overwrite by re-reading dest and comparing
+    // bytes (in-process races are already serialized by the root lock, so
+    // this exercises the check directly).
+    val log = newLog()
+    val fs = new org.apache.hadoop.fs.Path(log.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(log.root, "snapshots/00000001.json")
+    fs.mkdirs(dest.getParent)
+    val ours = """{"snapshotId":"snap-00000001"}""".getBytes("UTF-8")
+    val theirs = """{"snapshotId":"snap-00000001","sequence":1}""".getBytes("UTF-8")
+    def put(bytes: Array[Byte]): Unit = {
+      val out = fs.create(dest, true); try out.write(bytes) finally out.close()
+    }
+    put(theirs)
+    assert(!log.survivedRename(fs, dest, ours), "foreign content must fail the check")
+    put(ours)
+    assert(log.survivedRename(fs, dest, ours), "our own content must pass")
+    fs.delete(dest, false)
+    assert(!log.survivedRename(fs, dest, ours), "missing dest must fail, not throw")
+  }
+
   test("atomic commit: sequences increase; HEAD reads back the manifest") {
     val log = newLog()
     val job = new ValidationJob(spark, log, ImageConstraints.v1, commitBatch = 1)
