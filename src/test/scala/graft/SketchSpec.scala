@@ -69,6 +69,28 @@ class SketchSpec extends SparkSpec {
     assert(phRep.ratio < 0.85)
   }
 
+  test("exactDrift: self-vs-self is exactly 0; shifted bins match hand-computed KS/PSI") {
+    import spark.implicits._
+    // self vs self: p == q in every bin (clamping is symmetric) → 0.0 exactly
+    val a = Seq((10.0, "x"), (20.0, "x"), (60.0, "y")).toDF("v", "c")
+    val self = Drift.exactDrift(a, a, "v", lo = 0.0, binWidth = 50.0, bins = 2, catCol = "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(self.values.forall(_ == 0.0), self.toString)
+
+    // base: 4 rows in bin0; curr: 2 in bin0 + 2 in bin1 → cq(bin0)=0.5 so
+    // ks = 0.5; psi from the clamped formula computed with the same math
+    val base = Seq(10.0, 20.0, 30.0, 40.0).toDF("v").withColumn("c", lit("x"))
+    val curr = Seq(10.0, 20.0, 60.0, 70.0).toDF("v").withColumn("c", lit("x"))
+    val got = Drift.exactDrift(base, curr, "v", lo = 0.0, binWidth = 50.0, bins = 2, catCol = "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val eps = 1e-6
+    val expPsi = BigDecimal((0.5 - 1.0) * math.log(0.5 / 1.0) + (0.5 - eps) * math.log(0.5 / eps))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("ks", "v")) == 0.5, got.toString)
+    assert(got(("psi", "v")) == expPsi, s"got ${got(("psi", "v"))} expected $expPsi")
+    assert(got(("psi", "c")) == 0.0, "identical category mix must score 0")
+  }
+
   test("drift: same-vs-same ~ 0; baseline-vs-drift generator flags w/h and fmt") {
     val base = ColumnProfiler.profile(imgs)
     val same = ColumnProfiler.profile(imgs)
