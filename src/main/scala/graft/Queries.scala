@@ -600,6 +600,31 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Bigram-LM perplexity scoring ([[ops.TextOps.bigramNll]]) — the CCNet
+    * quality-filter shape: even-doc_id documents are the reference corpus,
+    * odd-doc_id documents are scored by mean negative log-likelihood under
+    * the add-1 bigram model (unseen contexts fall back to uniform 1/V).
+    * Integer counts feed IEEE double math identically in both engines;
+    * the 6-dp rounding absorbs libm/sum-order slack.
+    */
+  def q61LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    ops.TextOps.bigramNll(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+      .orderBy("id")
+  }
+
+  /** Corpus-IDF rarity scoring ([[ops.TextOps.idfScores]]): smoothed
+    * ln((N+1)/(df+1)) document frequency over the whole documents table,
+    * mean over each doc's distinct words — the bag-of-words importance
+    * feature of data-selection pipelines.
+    */
+  def q62IdfRarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    ops.TextOps.idfScores(docs, "doc_id", "text").orderBy("id")
+  }
+
   /** Exact histogram drift ([[graft.drift.Drift.exactDrift]]): KS + PSI on
     * `value` over 12 fixed-width bins and PSI on the `event_type` mix,
     * between two deterministic snapshot halves of `events` (even vs odd
@@ -1069,7 +1094,9 @@ object Queries {
     "q57_asof_nearest_tolerance" -> (q57AsofNearestTolerance _),
     "q58_substring_span_dedup" -> (q58SubstringSpanDedup _),
     "q59_drift_exact" -> (q59DriftExact _),
-    "q60_span_removal" -> (q60SpanRemoval _)
+    "q60_span_removal" -> (q60SpanRemoval _),
+    "q61_lm_perplexity" -> (q61LmPerplexity _),
+    "q62_idf_rarity" -> (q62IdfRarity _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1680,6 +1707,43 @@ object Queries {
          SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
                 CAST(sum(rm) AS BIGINT) AS n_removed,
                 md5(coalesce(string_agg(word, ' ' ORDER BY wpos) FILTER (WHERE rm = 0), '')) AS clean_md5
-         FROM mask GROUP BY doc_id ORDER BY id"""
+         FROM mask GROUP BY doc_id ORDER BY id""",
+    "q61_lm_perplexity" ->
+      // add-1 bigram model trained on even docs, scored on odd docs:
+      // integer counts cast to DOUBLE before the division (a bare 1.0
+      // literal would drag DuckDB into DECIMAL arithmetic), ln + avg +
+      // round(6) mirror the Spark expression exactly
+      """WITH corp AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         refbg AS (SELECT w[gs] AS w1, w[gs+1] AS w2
+                   FROM corp, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS gs) s
+                   WHERE doc_id % 2 = 0 AND len(w) >= 2),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM refbg GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY 1),
+         vv AS (SELECT count(DISTINCT u.uw) AS v
+                FROM corp, LATERAL (SELECT unnest(w) AS uw) u
+                WHERE corp.doc_id % 2 = 0),
+         scbg AS (SELECT doc_id, w[gs] AS w1, w[gs+1] AS w2
+                  FROM corp, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS gs) s
+                  WHERE doc_id % 2 = 1 AND len(w) >= 2),
+         j AS (SELECT doc_id,
+                      -ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                          / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + CAST(vv.v AS DOUBLE))) AS b_nll
+               FROM scbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN vv)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(b_nll), 6) AS nll
+         FROM j GROUP BY doc_id ORDER BY id""",
+    "q62_idf_rarity" ->
+      // smoothed IDF ln((N+1)/(df+1)) over distinct (doc, word) pairs
+      """WITH corp AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         nn AS (SELECT count(*) AS n FROM corp),
+         dw AS (SELECT DISTINCT doc_id, u.uw AS word
+                FROM corp, LATERAL (SELECT unnest(w) AS uw) u),
+         dfq AS (SELECT word, count(*) AS df FROM dw GROUP BY 1)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_distinct_words,
+                round(avg(ln(CAST(nn.n + 1 AS DOUBLE) / (dfq.df + 1))), 6) AS mean_idf
+         FROM dw JOIN dfq USING (word) CROSS JOIN nn
+         GROUP BY doc_id ORDER BY id"""
   )
 }

@@ -288,4 +288,88 @@ object TextOps {
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  /** Bigram language-model quality scoring — the CCNet-style perplexity
+    * filter (Wenzek et al. 2020 score web text against a reference-corpus
+    * LM and keep the low-perplexity head; this is the same shape with an
+    * exactly-reproducible add-α bigram model instead of a trained KenLM).
+    * The model is `reference` itself: context counts c(w1) (occurrences as
+    * a bigram left side), bigram counts c(w1,w2), vocabulary size V
+    * (distinct reference words), and
+    * `P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)` — unseen contexts reduce
+    * to the uniform 1/V. Per scored document: mean negative log-likelihood
+    * over its consecutive-word bigrams, rounded to `dp` decimals (libm /
+    * sum-order slack is sub-ulp-scale, far below that).
+    *
+    * Scale shape: both count frames are map-side-combining aggregates
+    * (bounded by observed-bigram cardinality, not corpus rows); scoring is
+    * two equi-joins of the exploded bigrams against those aggregated
+    * frames (hot function words are one aggregated row on the build side —
+    * AQE handles the probe-side skew) and one per-doc aggregation. Nothing
+    * scans `reference` more than twice, and nothing is collected.
+    *
+    * Returns (id, n_bigrams, nll) for scored docs with ≥ 2 words: nll
+    * ascending = most reference-like first, the curation sort order.
+    */
+  def bigramNll(
+      reference: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0,
+      dp: Int = 6
+  ): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), lowerWords(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(col("id"), explode(transform(sequence(lit(1), size(col("_w")) - 1),
+        i => struct(element_at(col("_w"), i).as("w1"), element_at(col("_w"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams(reference).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context counts roll up from the bigram aggregate — no second pass
+    // over the exploded reference
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = reference
+      .select(explode(lowerWords(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val p = coalesce(col("c12"), lit(0L)) + lit(alpha)
+    val q = coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v")
+    bigrams(score)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("id"), (-log(p / q)).as("_nll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("_nll")), dp).as("nll"))
+  }
+
+  /** Corpus-IDF rarity scoring — the bag-of-words importance feature of
+    * data-selection pipelines (DSIR-style importance weights and classic
+    * TF-IDF corpus triage both reduce to it): per word, the smoothed
+    * inverse document frequency `ln((N + 1) / (df + 1))` over the corpus;
+    * per document, the mean IDF of its DISTINCT words — high = the
+    * document uses rare vocabulary, low = boilerplate function-word soup.
+    *
+    * Scale shape: one distinct-(doc, word) explode, one map-side-combining
+    * document-frequency aggregate (rows bounded by vocabulary), one
+    * equi-join back (aggregated build side; AQE absorbs hot-word probe
+    * skew), one per-doc aggregate. The corpus row count `N` rides a
+    * broadcast single-row frame, so the whole operator is one pipeline —
+    * no collect, no driver loop.
+    *
+    * Returns (id, n_distinct_words, mean_idf) for docs with ≥ 1 word,
+    * rounded to `dp` decimals.
+    */
+  def idfScores(docs: DataFrame, idCol: String, textCol: String, dp: Int = 6): DataFrame = {
+    val docWords = docs
+      .select(col(idCol).as("id"), explode(array_distinct(lowerWords(col(textCol)))).as("w"))
+    val n = docs.select(col(idCol)).agg(count(lit(1)).as("n"))
+    val df = docWords.groupBy("w").agg(count(lit(1)).as("df"))
+    docWords
+      .join(df, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), log((col("n") + 1).cast("double") / (col("df") + 1)).as("_idf"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_distinct_words"), round(avg(col("_idf")), dp).as("mean_idf"))
+  }
 }

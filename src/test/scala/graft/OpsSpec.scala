@@ -813,6 +813,29 @@ class OpsSpec extends SparkSpec {
     assert(gotStr == got)
   }
 
+  test("bigramNll: add-1 bigram model matches hand-computed probabilities; <2-word docs dropped") {
+    // reference "a b a c": c(a,b)=1 c(b,a)=1 c(a,c)=1, contexts a=2 b=1, V=3
+    val ref = Seq((10L, "a b a c")).toDF("doc_id", "text")
+    val sc = Seq((1L, "a b z"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramNll(ref, sc, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // P(b|a) = (1+1)/(2+3), P(z|b) = (0+1)/(1+3); mean of the two NLLs
+    val exp = BigDecimal((-math.log(2.0 / 5.0) - math.log(1.0 / 4.0)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L), s"one-word docs must drop: ${got.keySet}")
+    assert(got(1L) == ((2L, exp)), s"got ${got(1L)} expected (2, $exp)")
+  }
+
+  test("idfScores: smoothed mean IDF over distinct words matches hand computation") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x x")).toDF("doc_id", "text")
+    val got = TextOps.idfScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // N=3: idf(x)=ln(4/4)=0, idf(y)=idf(z)=ln(4/2)
+    val ln2 = BigDecimal(math.log(2.0) / 2.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, ln2)) && got(2L) == ((2L, ln2)), s"$got")
+    assert(got(3L) == ((1L, 0.0)), s"repeated word counts once: ${got(3L)}")
+  }
+
   test("splitAssign: the ffffffff hash prefix belongs to the final split when fractions sum to 1") {
     import graft.ops.Sampling
     val prefixes = Seq(Some("00000000"), Some("cccccccb"), Some("cccccccc"),
