@@ -350,12 +350,15 @@ object TextOps {
     * per document, the mean IDF of its DISTINCT words — high = the
     * document uses rare vocabulary, low = boilerplate function-word soup.
     *
-    * Scale shape: one distinct-(doc, word) explode, one map-side-combining
-    * document-frequency aggregate (rows bounded by vocabulary), one
-    * equi-join back (aggregated build side; AQE absorbs hot-word probe
-    * skew), one per-doc aggregate. The corpus row count `N` rides a
-    * broadcast single-row frame, so the whole operator is one pipeline —
-    * no collect, no driver loop.
+    * Scale shape: the distinct-(doc, word) explode feeds both the
+    * document-frequency aggregate (map-side-combining, rows bounded by
+    * vocabulary) and the join probe — two passes over the tokenize+explode
+    * (persist `docs` upstream if tokenization dominates); the join keeps
+    * the aggregated side as build (AQE absorbs hot-word probe skew — a
+    * per-word WINDOW count would avoid the second pass but serialize every
+    * "the" into one task, the wrong trade at corpus scale). The corpus row
+    * count `N` rides a broadcast single-row frame: no collect, no driver
+    * loop.
     *
     * Returns (id, n_distinct_words, mean_idf) for docs with ≥ 1 word,
     * rounded to `dp` decimals.

@@ -230,4 +230,28 @@ class PlanSpec extends SparkSpec {
         s"batch band keys not pushed into the stored keys scan:\n$scanLine")
     } finally spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
   }
+
+  test("span removal: keeper election partially aggregates, no UDF, no nested-loop join on data") {
+    val df = Queries.q60SpanRemoval(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("ScalaUDF"), "span removal must stay UDF-free")
+    assert(!p.contains("CartesianProduct"), s"cartesian in span removal:\n${p.take(1500)}")
+    // keeper election is groupBy(g).agg(min, count): a map-side-combining
+    // HashAggregate, not a row_number window over the hot span groups
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"keeper election lost its partial aggregation:\n${p.take(1500)}")
+  }
+
+  test("LM perplexity: count models partially aggregate; V rides a single-row broadcast") {
+    val df = Queries.q61LmPerplexity(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("ScalaUDF"), "bigram NLL must stay UDF-free")
+    assert(!p.contains("CartesianProduct"), "V must broadcast, not cartesian")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bigram counts lost partial aggregation:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"single-row V frame should broadcast:\n${p.take(1500)}")
+  }
 }
