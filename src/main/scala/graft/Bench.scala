@@ -227,13 +227,16 @@ object Bench {
         // stress task). The asof family: ONE shuffle+sort of 100× events —
         // no lsh metric, so don't poll the listener for them; q50/q56 route
         // the SAME 100× events through the chunked hot-key carry (persistHot
-        // evidence). q58: span self-join over 100× resampled documents.
+        // evidence). q58: span self-join over 100× resampled documents;
+        // q60: span REMOVAL over the same corpus (every span ~100×
+        // duplicated — the worst case for keeper election; uncapped by
+        // design, so no bucket metric to poll).
         val noLshMetric = Set("q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
-          "q50_asof_skew_safe", "q56_asof_nearest_skew")
+          "q50_asof_skew_safe", "q56_asof_nearest_skew", "q60_span_removal")
         val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
           "q35_phash_near_dup", "q36_dedup_components",
           "q44_incremental_near_dup", "q45_incremental_text_dedup",
-          "q37_semantic_dedup", "q58_substring_span_dedup",
+          "q37_semantic_dedup", "q58_substring_span_dedup", "q60_span_removal",
           "q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
           "q50_asof_skew_safe", "q56_asof_nearest_skew").map { name =>
           def once(): (Boolean, Double) = {
@@ -257,7 +260,26 @@ object Bench {
           // readings swing 3-4× on cold start (janino/JIT/page cache);
           // pairing each with a same-session repeat lets the judge separate
           // cold-start from real regression without re-deriving.
-          if (ok) { val (okW, dtW) = once(); lshWarm(name) = if (okW) dtW else -dtW }
+          if (ok) {
+            lastObserved.set(-1L)
+            lastObservedIncoming.set(-1L)
+            val (okW, dtW) = once(); lshWarm(name) = if (okW) dtW else -dtW
+            // DRAIN the warm run's async metric events before moving on:
+            // an event landing after the NEXT query's reset would be
+            // attributed to that query (wrong drop counts in the artifact)
+            var w2 = 0
+            while (okW && !noLshMetric.contains(name) && lastObserved.get() < 0 && w2 < 50) {
+              Thread.sleep(100); w2 += 1
+            }
+            while (okW && lshDropsIncoming.contains(name) && lastObservedIncoming.get() < 0 && w2 < 50) {
+              Thread.sleep(100); w2 += 1
+            }
+          }
+          // Operators persist intermediates (signature frames, asof hot
+          // subsets) scoped to their own execution; dropping them between
+          // stress queries keeps each reading independent and stops
+          // MEMORY_AND_DISK blocks accumulating across the family.
+          s.catalog.clearCache()
           // A failed stress query must not masquerade as a fast one: its
           // duration is emitted NEGATIVE (impossible for a real timing).
           name -> (if (ok) dt else -dt)
@@ -398,8 +420,11 @@ object Bench {
         graft.table.Maintenance.compact(s, log, "ivf_assignments", clusterBy = Seq("bucket"))
         val reloaded = graft.ops.Similarity.IvfIndex.load(s, log)
         val nQ = 100000L
+        // deterministic panel: a filter on vec_id (not an unordered limit,
+        // whose row set could shift between the lazy re-executions of the
+        // measured actions)
         val panel = s.range(0, nQ).toDF("qid")
-          .join(embs100.limit(200).select(col("vec_id").as("src"), col("embedding")),
+          .join(embs100.filter(col("vec_id") < 200).select(col("vec_id").as("src"), col("embedding")),
             pmod(col("qid"), lit(200)) === col("src"))
           .select(col("qid").as("vec_id"), col("embedding"))
         def run(mode: Option[Boolean]): (Long, Double) = {
@@ -408,7 +433,9 @@ object Bench {
             broadcastQueries = mode).count()
           (n, (System.nanoTime() - t0) / 1e9)
         }
-        run(Some(false)) // warm: codegen/JIT/page cache
+        // warm BOTH paths (codegen/JIT/page cache) so neither measured
+        // reading carries the cold-start penalty the comparison isn't about
+        run(Some(false)); run(Some(true))
         val (nShuf, tShuf) = run(Some(false))
         val (nBc, tBc) = run(Some(true))
         if (nShuf != nBc) System.err.println(s"[bench] IVFPANEL result mismatch: shuffle=$nShuf broadcast=$nBc")

@@ -575,7 +575,12 @@ object Queries {
       docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat(col("text"), lit(" zz span tail")).as("text")))
-    ops.Dedup.substringSpanPairs(corpus, "doc_id", "text", k = 5)
+    // maxBucket effectively disabled: the DuckDB twin has no cap, so a span
+    // organically present in > DefaultMaxBucket docs at a larger SF would
+    // diverge the graded comparison spuriously. The cap's drop semantics
+    // are covered by their own OpsSpec case; the 100× stress run carries
+    // the observable span_buckets metric either way.
+    ops.Dedup.substringSpanPairs(corpus, "doc_id", "text", k = 5, maxBucket = Int.MaxValue)
       .orderBy("id_a", "id_b")
   }
 

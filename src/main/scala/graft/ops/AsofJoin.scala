@@ -49,8 +49,11 @@ object AsofJoin {
     * rows, and at 100× the triple upstream scan dominates (round-5 verdict
     * item). The cache is not explicitly unpersisted (the operator is lazy —
     * results may be consumed long after return); same internal-persist
-    * pattern as [[Dedup.signaturePairs]], evicted LRU. Pass
-    * `persistHot = false` when the caller already persists its inputs.
+    * pattern as [[Dedup.signaturePairs]]. LRU eviction covers the memory
+    * tier only — blocks spilled to disk stay until unpersist or session
+    * end, so a long-lived session running MANY hot-key joins should
+    * `spark.catalog.clearCache()` between them (or pass
+    * `persistHot = false` when the caller already persists its inputs).
     */
   private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
     if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df

@@ -225,7 +225,12 @@ object Dedup {
           // lower it): a scaladoc requirement alone left the feature
           // silently inert out of the box (round-5 advisory). Session-
           // scoped runtime conf; pushdown is decided at execution, so the
-          // raised value is in force when the probe actually runs.
+          // raised value is in force when the probe actually runs — and
+          // for the same reason it CANNOT be restored here (the returned
+          // frame is lazy). The raise persists for the session: unrelated
+          // parquet scans may then push In filters up to this width
+          // (cheap row-group stat checks), and an operator who pinned a
+          // lower value should reset the key after the probe completes.
           val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
           val spark = corpusKeyRows.sparkSession
           val current = scala.util.Try(spark.conf.get(confKey).toInt).getOrElse(10)

@@ -125,7 +125,10 @@ object Sampling {
       // is exactly "ffffffff" (2^-32 of rows) to null — a "complete" split
       // silently dropping rows. The final range is therefore unconditional
       // for any hashed key (null keys still yield null: md5(null) is null).
-      if (cut >= 1.0) when(prefix.isNotNull, lit(name)).otherwise(acc)
+      // Tolerance mirrors the require() above: sequential FP summation of
+      // fractions that legitimately sum to 1 can land a hair BELOW 1.0
+      // (ten 0.1s sum to 0.9999999999999999) just as it can land above.
+      if (cut >= 1.0 - 1e-9) when(prefix.isNotNull, lit(name)).otherwise(acc)
       else when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
     }
   }

@@ -319,26 +319,55 @@ final class SnapshotLog(val root: String, conf: Configuration) extends Serializa
     * (POSIX local fs): exists(dest)+rename is check-then-act, so two
     * PROCESSES can both claim sequence N and the first writer's manifest is
     * silently replaced. After a successful rename, re-read dest and confirm
-    * OUR bytes survived — the overwritten loser sees foreign content and
-    * retries at the next sequence, so no committed manifest is ever lost
-    * (round-5 advisory). Byte equality is exact: identical racing payloads
-    * are indistinguishable but then the "lost" update is content-identical.
-    * On HDFS (the deployment target) rename onto an existing path fails
-    * outright and this check is a no-op read of our own file.
+    * OUR bytes survived — an overwritten loser sees foreign content and
+    * retries at the next sequence (round-5 advisory). This NARROWS the
+    * POSIX lost-update window to [verification read, racer's rename]; it
+    * does not close it — a racer overwriting dest after our read is still
+    * silently lost on a rename-overwrites filesystem. Cross-process safety
+    * rests on HDFS fail-if-exists rename (the deployment target), where
+    * this check is a no-op read of our own file; the POSIX check exists so
+    * local multi-process misuse fails loudly in the common interleavings
+    * rather than always silently. Byte equality is exact: identical racing
+    * payloads are indistinguishable but then the "lost" update is
+    * content-identical.
+    *
+    * A TRANSIENT read failure here is not a lost race: the rename already
+    * succeeded, so answering `false` would re-enter the retry loop and
+    * commit the same delta twice (readers walking the parent chain would
+    * see its rows duplicated). The read is retried briefly and then the
+    * ambiguity is surfaced as an error instead of guessed away.
     */
-  private[graft] def survivedRename(f: FileSystem, dest: Path, payload: Array[Byte]): Boolean =
-    try {
-      val len = f.getFileStatus(dest).getLen
-      if (len != payload.length) false
-      else {
-        val in = f.open(dest)
-        try {
-          val bytes = new Array[Byte](len.toInt)
-          in.readFully(bytes)
-          java.util.Arrays.equals(bytes, payload)
-        } finally in.close()
+  private[graft] def survivedRename(f: FileSystem, dest: Path, payload: Array[Byte]): Boolean = {
+    var attempt = 0
+    var result = Option.empty[Boolean]
+    while (result.isEmpty) {
+      try {
+        val len = f.getFileStatus(dest).getLen
+        if (len != payload.length) result = Some(false)
+        else {
+          val in = f.open(dest)
+          try {
+            val bytes = new Array[Byte](len.toInt)
+            in.readFully(bytes)
+            result = Some(java.util.Arrays.equals(bytes, payload))
+          } finally in.close()
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // definitive, and safe to answer false: with dest gone the retry
+          // loop re-reads head BELOW this sequence and recommits at the
+          // SAME sequence — no duplicate delta
+          result = Some(false)
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3) throw new IllegalStateException(
+            s"commit verification read failed after a successful rename to $dest — " +
+              "manifest state ambiguous; refusing to retry the commit (it may already be live)", e)
+          Thread.sleep(50L * attempt)
       }
-    } catch { case _: java.io.IOException => false }
+    }
+    result.get
+  }
 
   /** Atomic commit: temp write + rename is the commit point. Sequence is
     * assigned here (head+1). A writer that loses the race re-reads HEAD and

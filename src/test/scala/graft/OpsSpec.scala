@@ -849,6 +849,12 @@ class OpsSpec extends SparkSpec {
     val partial = prefixes.select(Sampling.splitAssignFromPrefix(col("p"),
       Seq("train" -> 0.5)).as("sp")).as[Option[String]].collect()
     assert(partial.toSeq == Seq(Some("train"), None, None, None, None, None, None))
+    // sequential FP summation landing a hair BELOW 1.0 (ten 0.1s sum to
+    // 0.9999999999999999) must still close the domain
+    val ten = prefixes.select(Sampling.splitAssignFromPrefix(col("p"),
+      (1 to 10).map(i => s"s$i" -> 0.1)).as("sp")).as[Option[String]].collect()
+    assert(ten.last.isEmpty && ten(5) == Some("s10"),
+      s"ffffffff must land in the final split under FP-short sums: ${ten.toSeq}")
   }
 
   test("pruned probe auto-raises the parquet In-pushdown threshold to cover the pushed key set") {
