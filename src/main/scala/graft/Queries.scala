@@ -630,6 +630,49 @@ object Queries {
     ops.TextOps.idfScores(docs, "doc_id", "text").orderBy("id")
   }
 
+  /** Sliding-window document chunking ([[ops.TextOps.docChunks]]): 12-token
+    * windows advancing by 6 (50% overlap) — the long-document → context-
+    * pieces step of retrieval/pretraining pipelines. One generator per row,
+    * shuffle-free; chunk text verified verbatim against DuckDB list
+    * slicing.
+    */
+  def q63DocChunking(s: SparkSession, dir: String): DataFrame =
+    ops.TextOps.docChunks(t(s, dir, "documents"), "doc_id", "text", window = 12, stride = 6)
+      .orderBy("id", "chunk_idx")
+
+  /** Sequence-packing offsets ([[ops.Packing.packOffsets]]): every
+    * document's exclusive global token offset in doc_id order plus the
+    * 512-token context bins it overlaps — the concat-and-chop training
+    * layout, computed with the bucketed two-level [[ops.PrefixScan]]
+    * instead of a single-partition window (buckets = 8 so the bucketing
+    * path itself is exercised at oracle scale). Offsets are exact
+    * integers: bit-for-bit against DuckDB's global window.
+    */
+  def q64TokenPacking(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.packOffsets(t(s, dir, "documents"), "doc_id", "text", contextLen = 512, buckets = 8)
+      .orderBy("doc_id")
+
+  /** Vocabulary-coverage accounting ([[ops.TextOps.vocabCoverage]]):
+    * corpus word counts (min frequency 2) with the inclusive running total
+    * in (count desc, word asc) order — the cumulative-mass column a vocab
+    * cutoff thresholds on. Runs through [[ops.PrefixScan]] (buckets = 8).
+    */
+  def q65VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    ops.TextOps.vocabCoverage(t(s, dir, "documents"), "text", minCount = 2L, buckets = 8)
+      .orderBy(col("cnt").desc, col("word"))
+
+  /** Sqrt-temperature source mixing ([[ops.Sampling.mixtureSqrtSample]]):
+    * deterministic hash sample targeting 1000 rows with per-source rates
+    * ∝ ⌊√n_s⌋/n_s — small sources upweighted, dominant ones downsampled.
+    * Rates are two float ops over exact integers, so the DuckDB oracle
+    * reproduces membership bit-for-bit from the same table.
+    */
+  def q66MixtureSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.mixtureSqrtSample(
+      t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source", targetRows = 1000L, salt = "mix")
+      .orderBy("doc_id")
+
   /** Exact histogram drift ([[graft.drift.Drift.exactDrift]]): KS + PSI on
     * `value` over 12 fixed-width bins and PSI on the `event_type` mix,
     * between two deterministic snapshot halves of `events` (even vs odd
@@ -1101,7 +1144,11 @@ object Queries {
     "q59_drift_exact" -> (q59DriftExact _),
     "q60_span_removal" -> (q60SpanRemoval _),
     "q61_lm_perplexity" -> (q61LmPerplexity _),
-    "q62_idf_rarity" -> (q62IdfRarity _)
+    "q62_idf_rarity" -> (q62IdfRarity _),
+    "q63_doc_chunking" -> (q63DocChunking _),
+    "q64_token_packing" -> (q64TokenPacking _),
+    "q65_vocab_coverage" -> (q65VocabCoverage _),
+    "q66_mixture_sample" -> (q66MixtureSample _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1749,6 +1796,64 @@ object Queries {
          SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_distinct_words,
                 round(avg(ln(CAST(nn.n + 1 AS DOUBLE) / (dfq.df + 1))), 6) AS mean_idf
          FROM dw JOIN dfq USING (word) CROSS JOIN nn
-         GROUP BY doc_id ORDER BY id"""
+         GROUP BY doc_id ORDER BY id""",
+    "q63_doc_chunking" ->
+      // same token split as q16 (trim + \s+, case preserved), chunk =
+      // list slice [st : st+11] joined by single spaces, chunk_idx from the
+      // 1-based start sequence stepping by the stride
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+         SELECT doc_id AS id, CAST((st - 1) // 6 AS BIGINT) AS chunk_idx,
+                CAST(least(12, len(w) - st + 1) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(w[st:st+11], ' ') AS chunk_text
+         FROM t, LATERAL (SELECT unnest(generate_series(1, len(w), 6)) AS st) g
+         ORDER BY id, chunk_idx""",
+    "q64_token_packing" ->
+      // the single-partition global window the Spark side deliberately
+      // avoids (PrefixScan buckets) — integer token counts, exclusive
+      // running offset in doc_id order, 512-token bin span
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         c AS (SELECT doc_id, n,
+                      CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+               FROM t)
+         SELECT doc_id, n AS n_tokens, o AS tok_offset,
+                o // 512 AS bin_first, (o + n - 1) // 512 AS bin_last
+         FROM c ORDER BY doc_id""",
+    "q65_vocab_coverage" ->
+      // lowercased word counts (min frequency 2) + inclusive running total
+      // in (cnt desc, word asc) order
+      """WITH w AS (SELECT uw AS word FROM documents,
+                      LATERAL (SELECT unnest(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x <> '')) AS uw) u
+                    WHERE text IS NOT NULL AND trim(text) <> ''),
+         c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1 HAVING count(*) >= 2)
+         SELECT word, cnt,
+                CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+         FROM c ORDER BY cnt DESC, word""",
+    "q66_mixture_sample" ->
+      // rate_s = least(1, (1000·⌊√n_s⌋) / (Σ⌊√n_s⌋·n_s)) with the exact
+      // float-op association of Sampling.mixtureSqrtRates, thresholded as
+      // the md5-hex-prefix predicate of Sampling.hexThreshold
+      """WITH c AS (SELECT source, count(*) AS n,
+                           CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+                    FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(isq) AS BIGINT) AS tot FROM c),
+         r AS (SELECT source,
+                      least(CAST(1.0 AS DOUBLE),
+                            (CAST(1000 AS DOUBLE) * CAST(isq AS DOUBLE))
+                              / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE))) AS rate
+               FROM c, t),
+         th AS (SELECT source,
+                       printf('%08x', least(CAST(trunc(rate * 4294967296.0) AS BIGINT),
+                                            4294967295)) AS thr
+                FROM r)
+         SELECT d.doc_id, d.source FROM documents d JOIN th USING (source)
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) < thr
+         ORDER BY d.doc_id"""
   )
 }

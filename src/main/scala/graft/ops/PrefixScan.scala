@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running total (global prefix sum) over a total order —
+  * WITHOUT the single-partition `Window.orderBy(...)` that Spark would
+  * otherwise plan (one task holding the whole table; a non-starter at
+  * 10^12 rows). This is the primitive behind sequence packing
+  * ([[Packing]]) and vocabulary-coverage cutoffs ([[TextOps.vocabCoverage]]).
+  *
+  * Algorithm (the classic two-level scan, same decomposition as Spark's own
+  * `RangePartitioner` + `zipWithIndex`):
+  *   1. sample the order key and pick `buckets-1` range boundaries
+  *      (collected to the driver as LITERALS, so every downstream pass
+  *      buckets rows identically — no reliance on exchange reuse for
+  *      consistency, and task retries can never disagree);
+  *   2. bucket id = number of boundaries ≤ the row's key — a codegen'd
+  *      O(buckets) comparison chain, no shuffle;
+  *   3. per-bucket totals (one combiner-friendly agg, `buckets` rows to
+  *      the driver) → exclusive prefix offsets, baked in as a literal map;
+  *   4. within-bucket running sum via `Window.partitionBy(bucket)` —
+  *      `buckets` parallel range-contiguous windows instead of one global
+  *      one — plus the bucket's offset.
+  *
+  * Cost: one count + one key-column sample scan + one agg pass + the main
+  * pass — all but the last are column-pruned scans. Driver state is
+  * O(buckets), never O(rows).
+  *
+  * Requirements (caller's contract, asserted where cheap):
+  *   - `orderCols` must be a UNIQUE total order (ties would make the
+  *     running value nondeterministic among tied rows);
+  *   - order columns must be non-null;
+  *   - `valueCol` is integral (sums as long).
+  */
+object PrefixScan {
+
+  /** Adds `resultCol` = inclusive running sum of `valueCol` over the rows
+    * ordered by `orderCols` (each `(name, ascending)`).
+    */
+  def runningTotal(
+      df: DataFrame,
+      orderCols: Seq[(String, Boolean)],
+      valueCol: String,
+      resultCol: String = "running",
+      buckets: Int = 64,
+      sampleSize: Int = 1 << 16
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val work = "_ps_bucket"
+    require(!df.columns.contains(work), s"PrefixScan reserves working column $work")
+
+    val keyCols = orderCols.map { case (c, _) => col(c) }
+    val n = df.count()
+    if (n == 0L) return df.withColumn(resultCol, lit(0L))
+
+    // Boundary sample: deterministic seed; fraction aims at ~sampleSize
+    // rows. Boundaries only steer balance — correctness is independent of
+    // where they land, so a sparse sample at small inputs is harmless.
+    val frac = math.min(1.0, sampleSize.toDouble * 1.2 / n.toDouble)
+    val sampled = df.select(keyCols: _*).sample(withReplacement = false, frac, seed = 7L)
+      .sort(sortOrder(orderCols): _*)
+      .collect()
+    val step = math.max(1, sampled.length / buckets)
+    val boundaries = sampled.indices.collect { case i if i > 0 && i % step == 0 => sampled(i) }
+      .distinct.take(buckets - 1)
+
+    // bucket = #boundaries with boundary <= key, i.e. sum of [key >= b].
+    val bucketExpr = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(geBoundary(orderCols, b.toSeq), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn(work, bucketExpr)
+
+    // Exclusive per-bucket offsets: `buckets` rows to the driver. The
+    // bucket expression is a pure function of row values and boundary
+    // LITERALS, so this separate job and the main pass below agree by
+    // construction.
+    val totals = bucketed.groupBy(col(work))
+      .agg(sum(col(valueCol).cast("long")).as("_t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to boundaries.length).map { b =>
+        val o = b -> acc
+        acc += totals.getOrElse(b, 0L)
+        o
+      }.toMap
+    }
+
+    val w = Window.partitionBy(col(work)).orderBy(sortOrder(orderCols): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn(resultCol,
+        sum(col(valueCol).cast("long")).over(w) + element_at(typedLit(offsets), col(work)))
+      .drop(work)
+  }
+
+  private def sortOrder(orderCols: Seq[(String, Boolean)]): Seq[Column] =
+    orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+
+  /** Lexicographic `row-key >= boundary` honouring per-column direction:
+    * for head (c, asc) with boundary value v —
+    * strictly-after(c, v) OR (c = v AND rest >= rest-boundary).
+    */
+  private def geBoundary(orderCols: Seq[(String, Boolean)], boundary: Seq[Any]): Column =
+    orderCols.zip(boundary) match {
+      case Seq() => lit(true)
+      case (head, v) +: rest =>
+        val (c, asc) = head
+        val after = if (asc) col(c) > lit(v) else col(c) < lit(v)
+        if (rest.isEmpty) after || col(c) === lit(v)
+        else after || (col(c) === lit(v) && geBoundary(orderCols.tail, boundary.tail))
+    }
+}

@@ -132,4 +132,44 @@ object Sampling {
       else when(prefix < lit(hexThreshold(cut)), lit(name)).otherwise(acc)
     }
   }
+
+  /** Sqrt-temperature source mixing (α = 0.5): per-source sampling rates
+    * r_s = min(1, target·⌊√n_s⌋ / Σ⌊√n_s⌋) — the "upsample small domains /
+    * downsample dominant ones" multinomial reweighting used for training
+    * mixes (mBERT/XLM-R exponent-smoothed sampling), realized as a
+    * deterministic hash sample so membership stays rerun/retry-stable.
+    *
+    * ⌊√n⌋ is used instead of n^α so every rate is ONE float multiply and
+    * divide over exact integers — bit-identical in any IEEE-754 engine,
+    * hence oracle-verifiable by hash (q66); arbitrary α is available by
+    * feeding your own rates to [[stratifiedSample]].
+    *
+    * Driver state: one row per source (counts collect) — sources are a
+    * small domain by construction. The sample itself is the
+    * [[stratifiedSample]] when-chain: one codegen'd scan, no join/shuffle.
+    */
+  def mixtureSqrtRates(df: DataFrame, stratumCol: String, targetRows: Long): Map[String, Double] = {
+    require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), math.floor(math.sqrt(r.getLong(1).toDouble)).toLong))
+    val total = counts.map(_._3).sum
+    // rate_s = target · w_s / n_s with w_s = ⌊√n_s⌋/Σ⌊√n_s⌋, so the expected
+    // kept count is Σ n_s·r_s = target (before the min-1 clamp). Exactly two
+    // float multiplies and one divide over exact integers, in this
+    // association — the oracle (q66) reproduces it bit-for-bit.
+    counts.map { case (s, n, q) =>
+      s -> math.min(1.0, targetRows.toDouble * q.toDouble / (total.toDouble * n.toDouble))
+    }.toMap
+  }
+
+  /** [[mixtureSqrtRates]] + [[stratifiedSample]] in one call. */
+  def mixtureSqrtSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      targetRows: Long,
+      salt: String = ""
+  ): DataFrame =
+    stratifiedSample(df, keyCol, stratumCol, mixtureSqrtRates(df, stratumCol, targetRows), salt = salt)
 }

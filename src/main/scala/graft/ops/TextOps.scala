@@ -375,4 +375,66 @@ object TextOps {
       .groupBy("id")
       .agg(count(lit(1)).as("n_distinct_words"), round(avg(col("_idf")), dp).as("mean_idf"))
   }
+
+  /** Fixed-window document chunking: split each document into token windows
+    * of `window` tokens advancing by `stride` — the "long document → model
+    * context pieces" preprocessing step (BERT/RAG-style sliding chunks;
+    * stride < window gives overlap). Emits one row per chunk:
+    * (id, chunk_idx, n_chunk_tokens, chunk_text); the final chunk is the
+    * natural remainder (callers wanting only full windows filter
+    * n_chunk_tokens === window).
+    *
+    * Scale shape: one generator per row (posexplode over the start
+    * sequence) — no shuffle, no state, chunk count per row bounded by
+    * n_tokens/stride. The words array is materialized once per row before
+    * the lambda (the [[wordNgramsOf]] per-element trap).
+    */
+  def docChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_w"))
+      .select(col("id"), col("_w"),
+        posexplode(sequence(lit(1), size(col("_w")), lit(stride))).as(Seq("chunk_idx", "_st")))
+      .select(
+        col("id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(window), size(col("_w")) - col("_st") + 1).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_w"), col("_st"), lit(window))).as("chunk_text"))
+  }
+
+  /** Vocabulary extraction with corpus-coverage accounting: word counts
+    * over the whole corpus (min frequency `minCount`) plus each word's
+    * INCLUSIVE cumulative count in (count desc, word asc) order — the
+    * running total a tokenizer-training / vocab-cutoff step thresholds on
+    * ("keep the smallest vocab covering 95% of token mass").
+    *
+    * The cumulative count is a global running sum over a potentially huge
+    * vocabulary (cnt=1 tail), so it goes through [[PrefixScan.runningTotal]]
+    * — bucketed two-level scan, never a single-partition window. The
+    * (cnt desc, word asc) order is unique, as PrefixScan requires.
+    *
+    * Output: (word, cnt, cum_cnt).
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 1L,
+      buckets: Int = 64
+  ): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(lowerWords(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    PrefixScan.runningTotal(counts, Seq("cnt" -> false, "word" -> true), "cnt",
+      resultCol = "cum_cnt", buckets = buckets)
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, PrefixScan, Sampling, TextOps}
+
+/** The corpus-layout family: [[PrefixScan]] (distributed running total),
+  * [[Packing]] (sequence-packing offsets), [[TextOps.docChunks]] /
+  * [[TextOps.vocabCoverage]], and [[Sampling.mixtureSqrtRates]].
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PrefixScan.runningTotal matches the single-window global scan with buckets engaged") {
+    // 2000 rows, deterministic pseudo-random values; buckets = 8 forces the
+    // boundary sample + per-bucket offset machinery to do real work.
+    val df = spark.range(2000)
+      .select(col("id"), (pmod(col("id") * 2654435761L, lit(1000))).as("v"))
+    val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v", buckets = 8, sampleSize = 256)
+      .select("id", "running")
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.select(col("id"), sum(col("v")).over(w).as("running"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "bucketed prefix scan must equal the global window scan")
+    // bucket column must not leak
+    assert(got.columns.toSeq == Seq("id", "running"))
+  }
+
+  test("PrefixScan.runningTotal honours descending + tie-broken multi-column order") {
+    val df = Seq(("b", 1L, 10L), ("a", 1L, 20L), ("c", 2L, 30L), ("d", 2L, 40L))
+      .toDF("k", "grp", "v")
+    // order: grp desc, k asc -> c(30), d(40), a(20), b(10)
+    val got = PrefixScan.runningTotal(df, Seq("grp" -> false, "k" -> true), "v", buckets = 2)
+      .select("k", "running").as[(String, Long)].collect().toMap
+    assert(got == Map("c" -> 30L, "d" -> 70L, "a" -> 90L, "b" -> 100L), s"$got")
+  }
+
+  test("PrefixScan.runningTotal on empty input yields the result column, zero rows") {
+    val df = spark.range(0).select(col("id"), col("id").as("v"))
+    val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v")
+    assert(got.columns.contains("running") && got.count() == 0L)
+  }
+
+  test("packOffsets: exclusive offsets and bin span, including a bin-crossing document") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 tokens, offset 0, bins 0-0
+      (2L, "d e f g"),        // 4 tokens, offset 3, crosses the 5-boundary: bins 0-1
+      (3L, "   "),            // blank: filtered
+      (4L, "h i j k l m")     // 6 tokens, offset 7, bins 1-2
+    ).toDF("doc_id", "text")
+    val got = Packing.packOffsets(docs, "doc_id", "text", contextLen = 5, buckets = 2)
+      .select("doc_id", "n_tokens", "tok_offset", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 0L, 0L, 0L), (2L, 4L, 3L, 0L, 1L), (4L, 6L, 7L, 1L, 2L)), s"$got")
+  }
+
+  test("docChunks: sliding windows with stride overlap and remainder tail") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4"), (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.docChunks(docs, "doc_id", "text", window = 3, stride = 2)
+      .select("id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (7L, 0L, 3L, "t0 t1 t2"),
+      (7L, 1L, 3L, "t2 t3 t4"),
+      (7L, 2L, 1L, "t4")), s"$got")
+  }
+
+  test("vocabCoverage: minCount filter and inclusive cumulative mass in (cnt desc, word) order") {
+    val docs = Seq((1L, "Apple apple BANANA"), (2L, "apple banana cherry")).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(docs, "text", minCount = 2L, buckets = 2)
+      .select("word", "cnt", "cum_cnt")
+      .as[(String, Long, Long)].collect().sortBy(r => (-r._2, r._1)).toSeq
+    // apple 3, banana 2; cherry (cnt 1) filtered
+    assert(got == Seq(("apple", 3L, 3L), ("banana", 2L, 5L)), s"$got")
+  }
+
+  test("mixtureSqrtRates: exact sqrt-temperature rates with the min-1 clamp") {
+    val df = (Seq.fill(100)("big") ++ Seq.fill(4)("small") ++ Seq("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    // isq: big 10, small 2, tiny 1 -> total 13
+    val rates = Sampling.mixtureSqrtRates(df, "source", targetRows = 26L)
+    assert(rates("big") == math.min(1.0, 26.0 * 10.0 / (13.0 * 100.0)), s"$rates")
+    assert(rates("small") == 1.0, s"small must clamp at 1: $rates")   // 26*2/(13*4) = 1.0
+    assert(rates("tiny") == 1.0, s"tiny must clamp at 1: $rates")     // 26*1/(13*1) = 2 -> 1
+    // expected kept mass before clamping = target: sum n_s * unclamped rate
+    val unclampedBig = 26.0 * 10.0 / (13.0 * 100.0)
+    assert(math.abs(100 * unclampedBig + 4 * (26.0 * 2 / (13.0 * 4)) + 1 * (26.0 / 13.0) - 26.0) < 1e-9)
+  }
+
+  test("mixtureSqrtSample is deterministic and respects per-source membership") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0L) "a" else "b")).toDF("doc_id", "source")
+    val s1 = Sampling.mixtureSqrtSample(df, "doc_id", "source", targetRows = 80L, salt = "t")
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.mixtureSqrtSample(df, "doc_id", "source", targetRows = 80L, salt = "t")
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2, "hash sample must be rerun-stable")
+    assert(s1.nonEmpty && s1.size < 400, s"sample must thin the input: ${s1.size}")
+    // membership must be a pure function of (key, salt, source rate): a row's
+    // presence is unchanged when unrelated rows are dropped from the SAME source
+    val rates = Sampling.mixtureSqrtRates(df, "source", targetRows = 80L)
+    val manual = df.as[(Long, String)].collect().filter { case (id, src) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "t").getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) < math.min((rates(src) * 4294967296.0).toLong, 4294967295L)
+    }.toSet
+    assert(s1 == manual, s"Spark membership must equal the closed-form md5 predicate")
+  }
+}
