@@ -243,6 +243,32 @@ class PlanSpec extends SparkSpec {
       s"keeper election lost its partial aggregation:\n${p.take(1500)}")
   }
 
+  test("doc chunking is one shuffle-free generator pass (no exchange, no UDF)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.TextOps.docChunks(docs, "doc_id", "text", window = 12, stride = 6)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("Generate"), s"chunking must be a generator:\n${p.take(800)}")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"), "chunking must stay UDF-free")
+  }
+
+  test("prefix-scan ops never plan a single-partition window (packing + vocab coverage)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (df <- Seq(
+        graft.ops.Packing.packOffsets(docs, "doc_id", "text", contextLen = 512, buckets = 8),
+        graft.ops.TextOps.vocabCoverage(docs, "text", minCount = 2L, buckets = 8))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      // the scale-killer shape PrefixScan exists to avoid: a global
+      // Window.orderBy planning Exchange SinglePartition
+      assert(!p.contains("SinglePartition"),
+        s"prefix scan degenerated to a single-partition window:\n${p.take(1500)}")
+      assert(p.contains("Window"), s"expected the per-bucket window:\n${p.take(800)}")
+      assert(!p.contains("ScalaUDF"), "prefix scan must stay UDF-free")
+    }
+  }
+
   test("LM perplexity: count models partially aggregate; V rides a single-row broadcast") {
     val df = Queries.q61LmPerplexity(spark, sfDir)
     df.collect()
