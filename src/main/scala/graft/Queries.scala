@@ -673,6 +673,15 @@ object Queries {
       "doc_id", "source", targetRows = 1000L, salt = "mix")
       .orderBy("doc_id")
 
+  /** BPE merge-candidate scoring ([[ops.TextOps.bpeMergePairs]]): adjacent
+    * character-pair counts weighted by word frequency — one tokenizer-
+    * training merge round. Pair extraction runs over the vocabulary, not
+    * the corpus; integer-exact, so DuckDB reproduces it bit-for-bit.
+    */
+  def q67BpeMergePairs(s: SparkSession, dir: String): DataFrame =
+    ops.TextOps.bpeMergePairs(t(s, dir, "documents"), "text")
+      .orderBy(col("pair_count").desc, col("pair"))
+
   /** Exact histogram drift ([[graft.drift.Drift.exactDrift]]): KS + PSI on
     * `value` over 12 fixed-width bins and PSI on the `event_type` mix,
     * between two deterministic snapshot halves of `events` (even vs odd
@@ -1148,7 +1157,8 @@ object Queries {
     "q63_doc_chunking" -> (q63DocChunking _),
     "q64_token_packing" -> (q64TokenPacking _),
     "q65_vocab_coverage" -> (q65VocabCoverage _),
-    "q66_mixture_sample" -> (q66MixtureSample _)
+    "q66_mixture_sample" -> (q66MixtureSample _),
+    "q67_bpe_merge_pairs" -> (q67BpeMergePairs _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1854,6 +1864,21 @@ object Queries {
                 FROM r)
          SELECT d.doc_id, d.source FROM documents d JOIN th USING (source)
          WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) < thr
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "q67_bpe_merge_pairs" ->
+      // lowercased word counts (the only corpus pass), then adjacent char
+      // pairs weighted by word frequency — integer-exact merge scoring
+      """WITH w AS (SELECT uw AS word FROM documents,
+                      LATERAL (SELECT unnest(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x <> '')) AS uw) u
+                    WHERE text IS NOT NULL AND trim(text) <> ''),
+         c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+               GROUP BY 1 HAVING len(word) >= 2),
+         p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, word, cnt
+               FROM c, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) g)
+         SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+                CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         FROM p GROUP BY 1 ORDER BY pair_count DESC, pair"""
   )
 }

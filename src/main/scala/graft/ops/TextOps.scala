@@ -409,6 +409,40 @@ object TextOps {
         concat_ws(" ", slice(col("_w"), col("_st"), lit(window))).as("chunk_text"))
   }
 
+  /** BPE merge-candidate scoring — the tokenizer-training inner loop:
+    * count every adjacent character pair, weighted by word frequency
+    * (Sennrich et al. 2016; the pair with the highest count is the next
+    * merge). This op produces the full candidate table for ONE merge
+    * round; the sequential merge loop itself is a driver-side iteration
+    * over re-invocations (each round re-scores over the updated symbol
+    * sequences) and is deliberately not baked in.
+    *
+    * Scale shape — the detail that makes BPE training feasible on a
+    * 10^12-token corpus: pair extraction runs over the VOCABULARY weighted
+    * by word counts, never over the corpus. The corpus is touched exactly
+    * once (the word-count hash agg, map-side combining); the generator +
+    * second agg operate on |vocab| rows. Both aggs partial-aggregate;
+    * everything is codegen'd Column ops.
+    *
+    * Output: (pair, pair_count, n_words) — total weighted occurrences and
+    * the number of distinct words contributing.
+    */
+  def bpeMergePairs(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(lowerWords(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    wc
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"), col("word"), col("cnt"))
+      .groupBy("pair")
+      .agg(sum(col("cnt")).as("pair_count"),
+        count_distinct(col("word")).as("n_words"))
+  }
+
   /** Vocabulary extraction with corpus-coverage accounting: word counts
     * over the whole corpus (min frequency `minCount`) plus each word's
     * INCLUSIVE cumulative count in (count desc, word asc) order — the

@@ -826,6 +826,15 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == ((2L, exp)), s"got ${got(1L)} expected (2, $exp)")
   }
 
+  test("bpeMergePairs: frequency-weighted adjacent-pair counts match hand computation") {
+    val docs = Seq((1L, "ab ab Ba"), (2L, "abc"), (3L, "x"), (4L, "  ")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergePairs(docs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vocab: ab×2, ba×1, abc×1 ("x" dropped: single char; blank doc filtered)
+    // pairs: ab ← ab(2) + abc(1) = 3 over 2 words; ba ← 1; bc ← 1
+    assert(got == Map("ab" -> ((3L, 2L)), "ba" -> ((1L, 1L)), "bc" -> ((1L, 1L))), s"$got")
+  }
+
   test("idfScores: smoothed mean IDF over distinct words matches hand computation") {
     val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x x")).toDF("doc_id", "text")
     val got = TextOps.idfScores(docs, "doc_id", "text")
