@@ -673,6 +673,19 @@ object Queries {
       "doc_id", "source", targetRows = 1000L, salt = "mix")
       .orderBy("doc_id")
 
+  /** Per-source token-budget curation ([[ops.Packing.tokenBudgetKeep]]):
+    * cap every source at 800 tokens, preferring long documents (ties to
+    * min doc_id) — greedy fill, so the straddling document is kept. The
+    * in-group running total runs through
+    * [[ops.PrefixScan.groupedRunningTotal]] (one GLOBAL bucketed scan +
+    * per-group literal offsets), never `Window.partitionBy(source)` —
+    * a handful of huge sources would serialize onto one task each.
+    */
+  def q68TokenBudget(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.tokenBudgetKeep(t(s, dir, "documents"), "doc_id", "text", "source",
+      budgetTokens = 800L, orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8)
+      .orderBy("doc_id")
+
   /** BPE merge-candidate scoring ([[ops.TextOps.bpeMergePairs]]): adjacent
     * character-pair counts weighted by word frequency — one tokenizer-
     * training merge round. Pair extraction runs over the vocabulary, not
@@ -1158,7 +1171,8 @@ object Queries {
     "q64_token_packing" -> (q64TokenPacking _),
     "q65_vocab_coverage" -> (q65VocabCoverage _),
     "q66_mixture_sample" -> (q66MixtureSample _),
-    "q67_bpe_merge_pairs" -> (q67BpeMergePairs _)
+    "q67_bpe_merge_pairs" -> (q67BpeMergePairs _),
+    "q68_token_budget" -> (q68TokenBudget _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1879,6 +1893,20 @@ object Queries {
                FROM c, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) g)
          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
                 CAST(count(DISTINCT word) AS BIGINT) AS n_words
-         FROM p GROUP BY 1 ORDER BY pair_count DESC, pair"""
+         FROM p GROUP BY 1 ORDER BY pair_count DESC, pair""",
+    "q68_token_budget" ->
+      // the per-source window the Spark side deliberately avoids
+      // (groupedRunningTotal) — exclusive in-source running tokens in
+      // (n desc, doc_id) order, keep while the tokens before are < 800
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         c AS (SELECT doc_id, source, n,
+                      CAST(coalesce(SUM(n) OVER (PARTITION BY source
+                        ORDER BY n DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+               FROM t)
+         SELECT doc_id, source, n AS n_tokens, b AS tok_before
+         FROM c WHERE b < 800 ORDER BY doc_id"""
   )
 }

@@ -29,6 +29,43 @@ object Packing {
     * Output: (idCol, n_tokens, tok_offset, bin_first, bin_last) — all
     * counts long for oracle parity.
     */
+  /** Per-source token-budget curation: keep each group's documents, in
+    * caller-chosen priority order, until `budgetTokens` is reached — the
+    * "cap every source/language at N tokens" mixing step of corpus
+    * assembly. A document is kept iff the tokens admitted BEFORE it are
+    * still under budget (greedy fill: the straddling document is kept, so
+    * a nonzero budget always admits at least one document per group).
+    *
+    * The in-group running total comes from [[PrefixScan.groupedRunningTotal]]
+    * — a handful of huge sources would give `Window.partitionBy(source)`
+    * one task per source; here parallelism stays `buckets`-wide. Priority
+    * `orderCols` + the group must form a unique total order (tie-break on
+    * the id).
+    *
+    * Output: (idCol, groupCol, n_tokens, tok_before) for kept documents.
+    */
+  def tokenBudgetKeep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgetTokens: Long,
+      orderCols: Seq[(String, Boolean)],
+      buckets: Int = 64
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    val sized = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol) +: col(groupCol) +:
+        orderCols.collect { case (c, _) if c != idCol && c != groupCol && c != "n_tokens" => col(c) } :+
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
+    PrefixScan.groupedRunningTotal(sized, Seq(groupCol), orderCols, "n_tokens",
+      resultCol = "_incl", buckets = buckets)
+      .withColumn("tok_before", col("_incl") - col("n_tokens"))
+      .filter(col("tok_before") < budgetTokens)
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("tok_before"))
+  }
+
   def packOffsets(
       docs: DataFrame,
       idCol: String,

@@ -99,6 +99,48 @@ object PrefixScan {
       .drop(work)
   }
 
+  /** Per-group running total, skew-proof for FEW, HUGE groups — the shape
+    * `Window.partitionBy(group)` handles badly (one task per group: three
+    * sources over 100 TB = three tasks). Instead: ONE global
+    * [[runningTotal]] ordered by (group, orderCols), then each row's
+    * in-group running value = global running − the group's exclusive
+    * start offset. Group offsets are one tiny agg (|groups| rows) baked in
+    * as a literal map — callers' contract: `groupCols` is a SMALL domain
+    * (sources, splits, languages), while each group may be arbitrarily
+    * large. Parallelism stays `buckets`-wide regardless of group count.
+    */
+  def groupedRunningTotal(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      valueCol: String,
+      resultCol: String = "running",
+      buckets: Int = 64
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val globalOrder = groupCols.map(_ -> true) ++ orderCols
+    val g = runningTotal(df, globalOrder, valueCol, resultCol, buckets)
+    // Exclusive group start offsets: sum per group, collected in SPARK's
+    // native ascending group order (the same ordering runningTotal used —
+    // sorting driver-side by a stringified key would disagree for numeric
+    // groups: "10" < "2"). Tiny: |groups| rows. Group values must be
+    // non-null (same contract as order columns).
+    val totals = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("_t"))
+      .orderBy(groupCols.map(col(_).asc): _*)
+      .collect()
+      .map(r => groupCols.indices.map(i => String.valueOf(r.get(i))).mkString("\u0001") ->
+        r.getLong(groupCols.length))
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      totals.map { case (k, t) => val o = k -> acc; acc += t; o }.toMap
+    }
+    // \u0001 separator: a plain space would let multi-column group tuples
+    // collide when a value itself contains a space.
+    val key = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+    g.withColumn(resultCol, col(resultCol) - element_at(typedLit(offsets), key))
+  }
+
   private def sortOrder(orderCols: Seq[(String, Boolean)]): Seq[Column] =
     orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
 

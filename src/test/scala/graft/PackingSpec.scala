@@ -42,6 +42,34 @@ class PackingSpec extends SparkSpec {
     assert(got.columns.contains("running") && got.count() == 0L)
   }
 
+  test("groupedRunningTotal: per-group scan matches the partitioned window, incl. numeric groups") {
+    // groups 2 and 10 as INTEGERS: a stringified driver-side sort would
+    // order "10" < "2" and corrupt every offset — the regression this
+    // test pins
+    val df = Seq((10, "a", 5L), (2, "b", 7L), (10, "b", 3L), (2, "a", 1L), (7, "z", 2L))
+      .toDF("grp", "k", "v")
+    val got = PrefixScan.groupedRunningTotal(df, Seq("grp"), Seq("k" -> true), "v", buckets = 2)
+      .select("grp", "k", "running").as[(Int, String, Long)].collect().toSet
+    assert(got == Set((2, "a", 1L), (2, "b", 8L), (7, "z", 2L), (10, "a", 5L), (10, "b", 8L)),
+      s"$got")
+  }
+
+  test("tokenBudgetKeep: greedy fill in priority order; straddling doc kept, later docs cut") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),      // 5 tokens
+      (2L, "f g h", "s1"),          // 3 tokens
+      (3L, "i j", "s1"),            // 2 tokens
+      (4L, "k", "s2")               // 1 token
+    ).toDF("doc_id", "text", "source")
+    // priority: long first. s1 budget 7: doc1 (before 0) kept, doc2
+    // (before 5 < 7) kept and straddles, doc3 (before 8) cut. s2: doc4 kept.
+    val got = Packing.tokenBudgetKeep(docs, "doc_id", "text", "source", budgetTokens = 7L,
+      orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 2)
+      .select("doc_id", "source", "n_tokens", "tok_before")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "s1", 5L, 0L), (2L, "s1", 3L, 5L), (4L, "s2", 1L, 0L)), s"$got")
+  }
+
   test("packOffsets: exclusive offsets and bin span, including a bin-crossing document") {
     val docs = Seq(
       (1L, "a b c"),          // 3 tokens, offset 0, bins 0-0
