@@ -36,6 +36,22 @@ class PackingSpec extends SparkSpec {
     assert(got == Map("c" -> 30L, "d" -> 70L, "a" -> 90L, "b" -> 100L), s"$got")
   }
 
+  test("PrefixScan.runningTotal survives sparse samples, duplicate boundaries, signed values") {
+    // 1000 rows with only 11 distinct leading key values (boundary sample
+    // mostly duplicates -> distinct/take path), a tie-breaking second key,
+    // signed values, and more buckets than surviving boundaries.
+    val df = spark.range(1000).select(
+      (col("id") % 11).as("a"), col("id").as("b"),
+      (col("id") % 7 - lit(3)).as("v"))
+    val got = PrefixScan.runningTotal(df, Seq("a" -> true, "b" -> false), "v",
+      buckets = 64, sampleSize = 32).select("a", "b", "running")
+    val w = Window.orderBy(col("a").asc, col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.select(col("a"), col("b"), sum(col("v")).over(w).as("running"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "sparse-sample bucketed scan must equal the global window scan")
+  }
+
   test("PrefixScan.runningTotal on empty input yields the result column, zero rows") {
     val df = spark.range(0).select(col("id"), col("id").as("v"))
     val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v")

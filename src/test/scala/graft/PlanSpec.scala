@@ -257,7 +257,9 @@ class PlanSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (df <- Seq(
         graft.ops.Packing.packOffsets(docs, "doc_id", "text", contextLen = 512, buckets = 8),
-        graft.ops.TextOps.vocabCoverage(docs, "text", minCount = 2L, buckets = 8))) {
+        graft.ops.TextOps.vocabCoverage(docs, "text", minCount = 2L, buckets = 8),
+        graft.ops.Packing.tokenBudgetKeep(docs, "doc_id", "text", "source", 800L,
+          Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8))) {
       df.collect()
       val p = plan(df).split("== Initial Plan ==")(0)
       // the scale-killer shape PrefixScan exists to avoid: a global
