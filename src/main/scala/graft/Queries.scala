@@ -1830,7 +1830,8 @@ object Queries {
          SELECT doc_id AS id, CAST((st - 1) // 6 AS BIGINT) AS chunk_idx,
                 CAST(least(12, len(w) - st + 1) AS BIGINT) AS n_chunk_tokens,
                 array_to_string(w[st:st+11], ' ') AS chunk_text
-         FROM t, LATERAL (SELECT unnest(generate_series(1, len(w), 6)) AS st) g
+         FROM t, LATERAL (SELECT unnest(generate_series(1,
+                least(len(w), greatest(1, len(w) - 12 + 6)), 6)) AS st) g
          ORDER BY id, chunk_idx""",
     "q64_token_packing" ->
       // the single-partition global window the Spark side deliberately

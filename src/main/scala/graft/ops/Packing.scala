@@ -19,16 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** For each non-empty document: its whitespace token count, exclusive
-    * global token offset in `idCol` order (`tok_offset` — "offset" itself
-    * is an ANSI reserved word), and the first/last context bin of width
-    * `contextLen` it overlaps (a document spanning a bin boundary appears
-    * in every bin it crosses — callers deciding to pad-not-split can
-    * filter on `bin_first === bin_last`).
-    *
-    * Output: (idCol, n_tokens, tok_offset, bin_first, bin_last) — all
-    * counts long for oracle parity.
-    */
   /** Per-source token-budget curation: keep each group's documents, in
     * caller-chosen priority order, until `budgetTokens` is reached — the
     * "cap every source/language at N tokens" mixing step of corpus
@@ -40,7 +30,11 @@ object Packing {
     * — a handful of huge sources would give `Window.partitionBy(source)`
     * one task per source; here parallelism stays `buckets`-wide. Priority
     * `orderCols` + the group must form a unique total order (tie-break on
-    * the id).
+    * the id). `n_tokens` is a RESERVED output name, always recomputed here
+    * as the whitespace token count (asserted below — a caller's own
+    * `n_tokens` would otherwise be silently shadowed in both the priority
+    * order and the budget math); callers with external tokenizer counts
+    * should budget via [[PrefixScan.groupedRunningTotal]] directly.
     *
     * Output: (idCol, groupCol, n_tokens, tok_before) for kept documents.
     */
@@ -54,6 +48,9 @@ object Packing {
       buckets: Int = 64
   ): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    require(!docs.columns.contains("n_tokens"),
+      "tokenBudgetKeep reserves (and recomputes) n_tokens — rename the input column, " +
+        "or use PrefixScan.groupedRunningTotal directly to budget on your own counts")
     val sized = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol) +: col(groupCol) +:
@@ -66,6 +63,19 @@ object Packing {
       .select(col(idCol), col(groupCol), col("n_tokens"), col("tok_before"))
   }
 
+  /** For each non-empty document: its whitespace token count, exclusive
+    * global token offset in `idCol` order (`tok_offset` — "offset" itself
+    * is an ANSI reserved word), and the first/last context bin of width
+    * `contextLen` it overlaps (a document spanning a bin boundary appears
+    * in every bin it crosses — callers deciding to pad-not-split can
+    * filter on `bin_first === bin_last`).
+    *
+    * Output: (idCol, n_tokens, tok_offset, bin_first, bin_last) — all
+    * counts long for oracle parity. Bin assignment uses INTEGER division
+    * (`div`): a `/` on longs is a double divide, whose rounding would
+    * misplace bins once offsets pass 2^53 — the exact regime this op's
+    * 10^12-token framing targets.
+    */
   def packOffsets(
       docs: DataFrame,
       idCol: String,
@@ -77,11 +87,10 @@ object Packing {
     val sized = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val c = lit(contextLen.toLong)
     PrefixScan.runningTotal(sized, Seq(idCol -> true), "n_tokens", resultCol = "_incl", buckets = buckets)
       .withColumn("tok_offset", col("_incl") - col("n_tokens"))
-      .withColumn("bin_first", floor(col("tok_offset") / c).cast("long"))
-      .withColumn("bin_last", floor((col("tok_offset") + col("n_tokens") - 1) / c).cast("long"))
+      .withColumn("bin_first", expr(s"tok_offset div ${contextLen.toLong}"))
+      .withColumn("bin_last", expr(s"(tok_offset + n_tokens - 1) div ${contextLen.toLong}"))
       .drop("_incl")
   }
 }

@@ -38,6 +38,16 @@ object PrefixScan {
 
   /** Adds `resultCol` = inclusive running sum of `valueCol` over the rows
     * ordered by `orderCols` (each `(name, ascending)`).
+    *
+    * The input is persisted (MEMORY_AND_DISK) for the duration of the
+    * build by default: the scan needs three eager passes (count, boundary
+    * sample, bucket totals) plus the caller's final pass, and for an
+    * input that is itself a corpus-wide aggregation (vocabCoverage,
+    * tokenBudgetKeep) re-deriving it 4× is the dominant cost. It also
+    * pins the row set: a non-deterministic input would otherwise give
+    * the totals job and the main pass different rows — silently wrong
+    * offsets. Callers composing many scans over one frame can persist it
+    * themselves and pass `persistInput = false`.
     */
   def runningTotal(
       df: DataFrame,
@@ -45,22 +55,28 @@ object PrefixScan {
       valueCol: String,
       resultCol: String = "running",
       buckets: Int = 64,
-      sampleSize: Int = 1 << 16
+      sampleSize: Int = 1 << 16,
+      persistInput: Boolean = true
   ): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val work = "_ps_bucket"
     require(!df.columns.contains(work), s"PrefixScan reserves working column $work")
+    require(!df.columns.contains(resultCol),
+      s"result column $resultCol already exists in the input")
 
+    val in =
+      if (persistInput) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val keyCols = orderCols.map { case (c, _) => col(c) }
-    val n = df.count()
-    if (n == 0L) return df.withColumn(resultCol, lit(0L))
+    val n = in.count()
+    if (n == 0L) { if (persistInput) in.unpersist(); return df.withColumn(resultCol, lit(0L)) }
 
     // Boundary sample: deterministic seed; fraction aims at ~sampleSize
     // rows. Boundaries only steer balance — correctness is independent of
     // where they land, so a sparse sample at small inputs is harmless.
     val frac = math.min(1.0, sampleSize.toDouble * 1.2 / n.toDouble)
-    val sampled = df.select(keyCols: _*).sample(withReplacement = false, frac, seed = 7L)
+    val sampled = in.select(keyCols: _*).sample(withReplacement = false, frac, seed = 7L)
       .sort(sortOrder(orderCols): _*)
       .collect()
     val step = math.max(1, sampled.length / buckets)
@@ -71,16 +87,17 @@ object PrefixScan {
     val bucketExpr = boundaries.foldLeft(lit(0)) { (acc, b) =>
       acc + when(geBoundary(orderCols, b.toSeq), 1).otherwise(0)
     }
-    val bucketed = df.withColumn(work, bucketExpr)
+    val bucketed = in.withColumn(work, bucketExpr)
 
     // Exclusive per-bucket offsets: `buckets` rows to the driver. The
     // bucket expression is a pure function of row values and boundary
     // LITERALS, so this separate job and the main pass below agree by
-    // construction.
+    // construction. An all-null-value bucket sums to null — treat as 0,
+    // matching the window sum's null-skipping below.
     val totals = bucketed.groupBy(col(work))
       .agg(sum(col(valueCol).cast("long")).as("_t"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     val offsets: Map[Int, Long] = {
       var acc = 0L
@@ -115,30 +132,42 @@ object PrefixScan {
       orderCols: Seq[(String, Boolean)],
       valueCol: String,
       resultCol: String = "running",
-      buckets: Int = 64
+      buckets: Int = 64,
+      persistInput: Boolean = true
   ): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val globalOrder = groupCols.map(_ -> true) ++ orderCols
-    val g = runningTotal(df, globalOrder, valueCol, resultCol, buckets)
+    // runningTotal first: its persist + count materialize the cache the
+    // group-totals agg below then reuses (CacheManager matches by plan).
+    val g = runningTotal(df, globalOrder, valueCol, resultCol, buckets,
+      persistInput = persistInput)
+    // U+0001 separator: a plain space (or none) would let multi-column
+    // group tuples collide when a value itself contains the separator;
+    // group values must not contain U+0001 (and must be non-null -- the
+    // same contract as order columns).
+    val keyExpr = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
     // Exclusive group start offsets: sum per group, collected in SPARK's
-    // native ascending group order (the same ordering runningTotal used —
+    // native ascending group order (the same ordering runningTotal used --
     // sorting driver-side by a stringified key would disagree for numeric
-    // groups: "10" < "2"). Tiny: |groups| rows. Group values must be
-    // non-null (same contract as order columns).
+    // groups: "10" < "2"). The lookup key is computed by SPARK's own
+    // string cast on BOTH sides: a driver-side String.valueOf would
+    // disagree with cast-to-string for timestamps and the like, and the
+    // map lookup would then silently null every affected group's running
+    // value. Tiny: |groups| rows.
     val totals = df.groupBy(groupCols.map(col): _*)
       .agg(sum(col(valueCol).cast("long")).as("_t"))
       .orderBy(groupCols.map(col(_).asc): _*)
+      .select(keyExpr.as("_k"), col("_t"))
       .collect()
-      .map(r => groupCols.indices.map(i => String.valueOf(r.get(i))).mkString("\u0001") ->
-        r.getLong(groupCols.length))
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
     val offsets: Map[String, Long] = {
       var acc = 0L
       totals.map { case (k, t) => val o = k -> acc; acc += t; o }.toMap
     }
-    // \u0001 separator: a plain space would let multi-column group tuples
-    // collide when a value itself contains a space.
-    val key = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
-    g.withColumn(resultCol, col(resultCol) - element_at(typedLit(offsets), key))
+    require(offsets.size == totals.length,
+      s"group key collision: ${totals.length} groups yielded ${offsets.size} distinct keys " +
+        "(a group value contains the U+0001 separator)")
+    g.withColumn(resultCol, col(resultCol) - element_at(typedLit(offsets), keyExpr))
   }
 
   private def sortOrder(orderCols: Seq[(String, Boolean)]): Seq[Column] =

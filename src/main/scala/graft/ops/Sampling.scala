@@ -150,8 +150,15 @@ object Sampling {
     */
   def mixtureSqrtRates(df: DataFrame, stratumCol: String, targetRows: Long): Map[String, Double] = {
     require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    require(df.schema(stratumCol).dataType == org.apache.spark.sql.types.StringType,
+      s"stratum column $stratumCol must be string (got ${df.schema(stratumCol).dataType}); " +
+        "cast it, or compute rates yourself and call stratifiedSample")
+    // null strata are excluded from the rate map — the stratifiedSample
+    // when-chain can never match null, so such rows are dropped (the same
+    // exclusion the q66 oracle's inner join expresses).
     val counts = df.groupBy(col(stratumCol)).count()
       .collect()
+      .filter(!_.isNullAt(0))
       .map(r => (r.getString(0), r.getLong(1), math.floor(math.sqrt(r.getLong(1).toDouble)).toLong))
     val total = counts.map(_._3).sum
     // rate_s = target · w_s / n_s with w_s = ⌊√n_s⌋/Σ⌊√n_s⌋, so the expected

@@ -380,9 +380,14 @@ object TextOps {
     * of `window` tokens advancing by `stride` — the "long document → model
     * context pieces" preprocessing step (BERT/RAG-style sliding chunks;
     * stride < window gives overlap). Emits one row per chunk:
-    * (id, chunk_idx, n_chunk_tokens, chunk_text); the final chunk is the
-    * natural remainder (callers wanting only full windows filter
-    * n_chunk_tokens === window).
+    * (id, chunk_idx, n_chunk_tokens, chunk_text). Chunk starts stop at
+    * the last one needed for full coverage (start ≤ len − window + stride):
+    * every token lands in some chunk, but no chunk is wholly contained in
+    * its predecessor — the degenerate tails a naive start sequence emits
+    * (e.g. 5 tokens, window 3, stride 2 → a third 1-token chunk entirely
+    * inside chunk 2) would feed duplicate text downstream. The final chunk
+    * may still be shorter than `window` when it starts fresh material
+    * (callers wanting only full windows filter n_chunk_tokens === window).
     *
     * Scale shape: one generator per row (posexplode over the start
     * sequence) — no shuffle, no state, chunk count per row bounded by
@@ -401,7 +406,9 @@ object TextOps {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_w"))
       .select(col("id"), col("_w"),
-        posexplode(sequence(lit(1), size(col("_w")), lit(stride))).as(Seq("chunk_idx", "_st")))
+        posexplode(sequence(lit(1),
+          least(size(col("_w")), greatest(lit(1), size(col("_w")) - window + stride)),
+          lit(stride))).as(Seq("chunk_idx", "_st")))
       .select(
         col("id"),
         col("chunk_idx").cast("long").as("chunk_idx"),

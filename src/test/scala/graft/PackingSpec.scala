@@ -52,6 +52,17 @@ class PackingSpec extends SparkSpec {
       "sparse-sample bucketed scan must equal the global window scan")
   }
 
+  test("PrefixScan.runningTotal treats null values as 0, even when a whole bucket is null") {
+    // keys 0..99 all null-valued (an entire range bucket sums to null),
+    // keys 100.. carry values — the null bucket must not NPE and must
+    // contribute 0, matching the window sum's null skipping
+    val df = spark.range(200).select(col("id"),
+      when(col("id") < 100, lit(null).cast("long")).otherwise(col("id")).as("v"))
+    val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v", buckets = 4, sampleSize = 64)
+      .filter(col("id") === 199).select("running").as[Long].head
+    assert(got == (100L to 199L).sum, s"$got")
+  }
+
   test("PrefixScan.runningTotal on empty input yields the result column, zero rows") {
     val df = spark.range(0).select(col("id"), col("id").as("v"))
     val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v")
@@ -99,15 +110,26 @@ class PackingSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 0L, 0L, 0L), (2L, 4L, 3L, 0L, 1L), (4L, 6L, 7L, 1L, 2L)), s"$got")
   }
 
-  test("docChunks: sliding windows with stride overlap and remainder tail") {
+  test("docChunks: sliding windows with stride overlap, no contained duplicate tail") {
     val docs = Seq((7L, "t0 t1 t2 t3 t4"), (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = TextOps.docChunks(docs, "doc_id", "text", window = 3, stride = 2)
       .select("id", "chunk_idx", "n_chunk_tokens", "chunk_text")
       .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // starts stop at len - window + stride = 4: chunk "t4" alone would be
+    // wholly contained in chunk 1 — a duplicate-text tail
     assert(got == Seq(
       (7L, 0L, 3L, "t0 t1 t2"),
-      (7L, 1L, 3L, "t2 t3 t4"),
-      (7L, 2L, 1L, "t4")), s"$got")
+      (7L, 1L, 3L, "t2 t3 t4")), s"$got")
+    // a 6-token doc's tail chunk is a true remainder (token t5 is new)
+    val six = Seq((9L, "t0 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val got6 = TextOps.docChunks(six, "doc_id", "text", window = 3, stride = 2)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got6 == Seq((0L, "t0 t1 t2"), (1L, "t2 t3 t4"), (2L, "t4 t5")), s"$got6")
+    // shorter than a window: one chunk, whole doc
+    val short = Seq((10L, "a b")).toDF("doc_id", "text")
+    val gotS = TextOps.docChunks(short, "doc_id", "text", window = 3, stride = 2)
+      .select("n_chunk_tokens", "chunk_text").as[(Long, String)].collect().toSeq
+    assert(gotS == Seq((2L, "a b")), s"$gotS")
   }
 
   test("vocabCoverage: minCount filter and inclusive cumulative mass in (cnt desc, word) order") {
