@@ -231,14 +231,19 @@ object Bench {
         // q60: span REMOVAL over the same corpus (every span ~100×
         // duplicated — the worst case for keeper election; uncapped by
         // design, so no bucket metric to poll).
+        // q64/q65: the PrefixScan family at 100× documents — the bucketed
+        // global prefix sum must stay a few parallel passes as the row
+        // count grows two orders (uncapped by design: no drop metric).
         val noLshMetric = Set("q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
-          "q50_asof_skew_safe", "q56_asof_nearest_skew", "q60_span_removal")
+          "q50_asof_skew_safe", "q56_asof_nearest_skew", "q60_span_removal",
+          "q64_token_packing", "q65_vocab_coverage")
         val res = Seq("q20_minhash_dedup", "q21_simhash_dedup", "q22_ngram_jaccard",
           "q35_phash_near_dup", "q36_dedup_components",
           "q44_incremental_near_dup", "q45_incremental_text_dedup",
           "q37_semantic_dedup", "q58_substring_span_dedup", "q60_span_removal",
           "q42_asof_attribution", "q47_asof_tolerance", "q48_asof_forward",
-          "q50_asof_skew_safe", "q56_asof_nearest_skew").map { name =>
+          "q50_asof_skew_safe", "q56_asof_nearest_skew",
+          "q64_token_packing", "q65_vocab_coverage").map { name =>
           def once(): (Boolean, Double) = {
             val t0 = System.nanoTime()
             val ok = try { SparkEntry.queries(name)(s, dir).count(); true }
