@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *   - `orderCols` must be a UNIQUE total order (ties would make the
   *     running value nondeterministic among tied rows);
   *   - order columns must be non-null;
-  *   - `valueCol` is integral (sums as long).
+  *   - `valueCol` is integral (sums as long); null values count as 0 —
+  *     the running total is never null, a deliberate divergence from SQL
+  *     window sums (null over a leading all-null prefix) so the result
+  *     cannot depend on where sampled bucket boundaries land.
   */
 object PrefixScan {
 
@@ -46,7 +49,12 @@ object PrefixScan {
     * tokenBudgetKeep) re-deriving it 4× is the dominant cost. It also
     * pins the row set: a non-deterministic input would otherwise give
     * the totals job and the main pass different rows — silently wrong
-    * offsets. Callers composing many scans over one frame can persist it
+    * offsets. The cache entry is NOT explicitly unpersisted (the result
+    * is lazy; the final pass must see the same rows the eager passes
+    * saw) — it lives until the session drops it, the same internal-
+    * persist policy as `AsofJoin.persistHot`; long-lived sessions running
+    * many scans should `clearCache()` between them (the Bench stress loop
+    * does). Callers composing many scans over one frame can persist it
     * themselves and pass `persistInput = false`.
     */
   def runningTotal(
@@ -92,10 +100,16 @@ object PrefixScan {
     // Exclusive per-bucket offsets: `buckets` rows to the driver. The
     // bucket expression is a pure function of row values and boundary
     // LITERALS, so this separate job and the main pass below agree by
-    // construction. An all-null-value bucket sums to null — treat as 0,
-    // matching the window sum's null-skipping below.
+    // construction. Null values count as 0 THROUGHOUT (here and in the
+    // window below): a bare window sum would be null over an all-null
+    // prefix, which under bucketing would make the result depend on where
+    // sampled boundaries land (null + offset = null only in the bucket
+    // where the null run starts). Coalescing the VALUE makes the running
+    // total never-null and boundary-independent — documented divergence
+    // from SQL window semantics on leading all-null prefixes.
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
     val totals = bucketed.groupBy(col(work))
-      .agg(sum(col(valueCol).cast("long")).as("_t"))
+      .agg(sum(v).as("_t"))
       .collect()
       .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
@@ -111,8 +125,7 @@ object PrefixScan {
     val w = Window.partitionBy(col(work)).orderBy(sortOrder(orderCols): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
-      .withColumn(resultCol,
-        sum(col(valueCol).cast("long")).over(w) + element_at(typedLit(offsets), col(work)))
+      .withColumn(resultCol, sum(v).over(w) + element_at(typedLit(offsets), col(work)))
       .drop(work)
   }
 
@@ -154,12 +167,23 @@ object PrefixScan {
     // disagree with cast-to-string for timestamps and the like, and the
     // map lookup would then silently null every affected group's running
     // value. Tiny: |groups| rows.
-    val totals = df.groupBy(groupCols.map(col): _*)
-      .agg(sum(col(valueCol).cast("long")).as("_t"))
+    val totalRows = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("_t"))
       .orderBy(groupCols.map(col(_).asc): _*)
-      .select(keyExpr.as("_k"), col("_t"))
+      .select(groupCols.map(col) :+ keyExpr.as("_k") :+ col("_t"): _*)
       .collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // Cheap contract check over |groups| rows: a null group value would
+    // otherwise be silently collapsed with "" by concat_ws and blamed on
+    // a separator collision below.
+    totalRows.foreach { r =>
+      groupCols.indices.foreach { i =>
+        require(!r.isNullAt(i), s"group column ${groupCols(i)} contains null — " +
+          "group values must be non-null (filter or fill them first)")
+      }
+    }
+    val totals = totalRows
+      .map(r => r.getString(groupCols.length) ->
+        (if (r.isNullAt(groupCols.length + 1)) 0L else r.getLong(groupCols.length + 1)))
     val offsets: Map[String, Long] = {
       var acc = 0L
       totals.map { case (k, t) => val o = k -> acc; acc += t; o }.toMap

@@ -52,15 +52,22 @@ class PackingSpec extends SparkSpec {
       "sparse-sample bucketed scan must equal the global window scan")
   }
 
-  test("PrefixScan.runningTotal treats null values as 0, even when a whole bucket is null") {
-    // keys 0..99 all null-valued (an entire range bucket sums to null),
-    // keys 100.. carry values — the null bucket must not NPE and must
-    // contribute 0, matching the window sum's null skipping
+  test("PrefixScan.runningTotal treats null values as 0, never null, boundary-independent") {
+    // ids 50..149 null-valued: the null run spans bucket boundaries, so a
+    // bare window sum would null out the head of a non-first bucket and
+    // the answer would depend on where sampled boundaries land; the op
+    // coalesces VALUES to 0, so the running total is never null
     val df = spark.range(200).select(col("id"),
-      when(col("id") < 100, lit(null).cast("long")).otherwise(col("id")).as("v"))
-    val got = PrefixScan.runningTotal(df, Seq("id" -> true), "v", buckets = 4, sampleSize = 64)
-      .filter(col("id") === 199).select("running").as[Long].head
-    assert(got == (100L to 199L).sum, s"$got")
+      when(col("id").between(50, 149), lit(null).cast("long")).otherwise(col("id")).as("v"))
+    for (buckets <- Seq(1, 4, 16)) {
+      val rows = PrefixScan.runningTotal(df, Seq("id" -> true), "v",
+        buckets = buckets, sampleSize = 64)
+        .select("id", "running").as[(Long, Option[Long])].collect().toMap
+      assert(rows.values.forall(_.isDefined), s"null running value at buckets=$buckets")
+      assert(rows(100L) == Some((0L to 49L).sum), s"buckets=$buckets: ${rows(100L)}")
+      assert(rows(199L) == Some((0L to 49L).sum + (150L to 199L).sum),
+        s"buckets=$buckets: ${rows(199L)}")
+    }
   }
 
   test("PrefixScan.runningTotal on empty input yields the result column, zero rows") {
