@@ -104,6 +104,31 @@ class PackingSpec extends SparkSpec {
     assert(got == Seq((1L, "s1", 5L, 0L), (2L, "s1", 3L, 5L), (4L, "s2", 1L, 0L)), s"$got")
   }
 
+  test("tokenBudgetKeep matches a driver-side reference over generated sources") {
+    // 300 docs, 5 sources, token counts 1..13 from a deterministic formula
+    val docs = (1L to 300L).map { i =>
+      val n = (i * 7 % 13 + 1).toInt
+      (i, (1 to n).map(j => s"w$j").mkString(" "), s"s${i % 5}")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = graft.ops.Packing.tokenBudgetKeep(df, "doc_id", "text", "source",
+      budgetTokens = 100L, orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8)
+      .select("doc_id", "tok_before").as[(Long, Long)].collect().toMap
+    // independent reference: per source, sort by (tokens desc, id asc),
+    // keep while the running total before the doc is under budget
+    val expected = docs.map { case (id, text, src) => (id, text.split(" ").length.toLong, src) }
+      .groupBy(_._3).values.flatMap { grp =>
+        val ordered = grp.sortBy { case (id, n, _) => (-n, id) }
+        ordered.scanLeft((0L, 0L, false)) { case ((cum, _, _), (id, n, _)) =>
+          (cum + n, id, cum < 100L)
+        }.tail.collect { case (cumAfter, id, true) =>
+          id -> (cumAfter - ordered.find(_._1 == id).get._2)
+        }
+      }.toMap
+    assert(got == expected,
+      s"diff kept: ${(got.keySet diff expected.keySet, expected.keySet diff got.keySet)}")
+  }
+
   test("packOffsets: exclusive offsets and bin span, including a bin-crossing document") {
     val docs = Seq(
       (1L, "a b c"),          // 3 tokens, offset 0, bins 0-0
