@@ -686,6 +686,31 @@ object Queries {
       budgetTokens = 800L, orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8)
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline — the composition the individual
+    * operators exist for, as ONE lazy plan: exact dedup (keep min doc_id
+    * per text, [[ops.Dedup.exact]]) → quality gate (≥ 5 tokens) →
+    * per-source 400-token budget ([[ops.Packing.tokenBudgetKeep]], grouped
+    * prefix scan) → global sequence-packing offsets + 256-token bins over
+    * the kept set ([[ops.Packing.packOffsets]], global prefix scan). Both
+    * prefix scans surface in the output (tok_before in-source, tok_offset
+    * global); every stage is integer-exact, so the whole chain hash-matches
+    * the equivalent DuckDB CTE chain.
+    */
+  def q69CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+    val unique = ops.Dedup.exact(docs, "doc_id", "text")
+    val quality = unique.filter(ops.TextOps.tokenCount(col("text")) >= 5)
+    val kept = ops.Packing.tokenBudgetKeep(quality, "doc_id", "text", "source",
+      budgetTokens = 400L, orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8)
+    val packed = ops.Packing.packOffsets(
+      quality.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text",
+      contextLen = 256, buckets = 8)
+    packed.join(kept.select("doc_id", "source", "tok_before"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "tok_before", "tok_offset", "bin_first", "bin_last")
+      .orderBy("doc_id")
+  }
+
   /** BPE merge-candidate scoring ([[ops.TextOps.bpeMergePairs]]): adjacent
     * character-pair counts weighted by word frequency — one tokenizer-
     * training merge round. Pair extraction runs over the vocabulary, not
@@ -1172,7 +1197,8 @@ object Queries {
     "q65_vocab_coverage" -> (q65VocabCoverage _),
     "q66_mixture_sample" -> (q66MixtureSample _),
     "q67_bpe_merge_pairs" -> (q67BpeMergePairs _),
-    "q68_token_budget" -> (q68TokenBudget _)
+    "q68_token_budget" -> (q68TokenBudget _),
+    "q69_curation_pipeline" -> (q69CurationPipeline _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1908,6 +1934,31 @@ object Queries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
                FROM t)
          SELECT doc_id, source, n AS n_tokens, b AS tok_before
-         FROM c WHERE b < 800 ORDER BY doc_id"""
+         FROM c WHERE b < 800 ORDER BY doc_id""",
+    "q69_curation_pipeline" ->
+      // the full chain: dedup (min doc_id per identical text) -> >=5-token
+      // gate -> per-source 400-token budget window -> global packing
+      // window + 256-token bins. Spark groups by md5(text), DuckDB by the
+      // text itself: identical partitions, integer-exact throughout.
+      """WITH base AS (SELECT doc_id, source, text FROM documents
+                       WHERE text IS NOT NULL AND trim(text) <> ''),
+         u AS (SELECT * FROM base
+               QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         q AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+               FROM u WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+         b AS (SELECT doc_id, source, n,
+                      CAST(coalesce(SUM(n) OVER (PARTITION BY source
+                        ORDER BY n DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+               FROM q),
+         k AS (SELECT * FROM b WHERE tb < 400),
+         p AS (SELECT doc_id, source, n, tb,
+                      CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+               FROM k)
+         SELECT doc_id, source, n AS n_tokens, tb AS tok_before, o AS tok_offset,
+                o // 256 AS bin_first, (o + n - 1) // 256 AS bin_last
+         FROM p ORDER BY doc_id"""
   )
 }
