@@ -73,13 +73,16 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-`idCol` row per distinct `textCol`.
     * Shuffles only (hash, id); survivors re-join the full rows by id.
+    * Keeper election is `groupBy(hash).agg(min(id))` — a map-side-
+    * combining hash agg, NOT a `row_number` window per fingerprint: a
+    * single text duplicated 10^9 times would put its whole partition on
+    * one window task, while partial min folds it executor-locally.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol).cast("binary")).as("_fp")
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
     df.select(col(idCol), h)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol))
       .select(idCol)
       .join(df, Seq(idCol)) // id is unique ⇒ broadcast-able or shuffle-by-id
   }
