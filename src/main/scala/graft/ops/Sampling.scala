@@ -77,13 +77,30 @@ object Sampling {
     * One shuffle on the stratum (the unavoidable one); ties on identical
     * hash break by the key itself, so selection is total and
     * deterministic even with adversarial keys.
+    *
+    * Skew shape: a bare `row_number` over `partitionBy(stratum)` sorts
+    * each WHOLE stratum on one task — three sources over 100 TB = three
+    * tasks. With `prefilter = true` (the default for string strata) the
+    * window runs only on rows whose hash prefix is below a per-stratum
+    * threshold 8k/n_s·2^32 (hashes are uniform, so the k smallest
+    * concentrate there; expected survivors ≈ 8k per stratum, and the
+    * window partitions are O(k) regardless of stratum size). Correctness
+    * never rests on the concentration bound: any stratum whose survivor
+    * count falls short of min(k, n_s) — possible, just binomially rare —
+    * is re-run through the unfiltered window and unioned back, so the
+    * output is bit-identical to the plain path (q55's oracle covers the
+    * composite). Costs one tiny per-stratum count agg (strata are a small
+    * domain — the [[mixtureSqrtRates]] contract); pass `prefilter =
+    * false` to keep the original single-pass plan (required when the
+    * stratum column is not a string).
     */
   def sampleKPerStratum(
       df: DataFrame,
       keyCol: String,
       stratumCol: String,
       k: Int,
-      salt: String = ""
+      salt: String = "",
+      prefilter: Boolean = true
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(!df.columns.contains("_sample_rank"),
@@ -91,9 +108,45 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(hashPrefix(col(keyCol), salt), col(keyCol))
-    df.withColumn("_sample_rank", row_number().over(w))
-      .filter(col("_sample_rank") <= k)
-      .drop("_sample_rank")
+    def windowed(in: DataFrame): DataFrame =
+      in.withColumn("_sample_rank", row_number().over(w))
+        .filter(col("_sample_rank") <= k)
+        .drop("_sample_rank")
+    if (!prefilter) return windowed(df)
+    require(df.schema(stratumCol).dataType == org.apache.spark.sql.types.StringType,
+      s"prefilter needs a string stratum column (got ${df.schema(stratumCol).dataType}); " +
+        "pass prefilter = false")
+
+    val rawCounts = df.groupBy(col(stratumCol)).count().collect()
+    // A null stratum can't join the literal threshold map — route those
+    // rows through the plain window below so behavior matches prefilter=false.
+    val hasNullStratum = rawCounts.exists(_.isNullAt(0))
+    val counts = rawCounts
+      .filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Per-stratum hash cutoff: strata at or below 8k keep everything (the
+    // window is already O(k) there); larger ones keep ~8k expected rows.
+    val thresholds: Map[String, String] = counts.map { case (s, n) =>
+      s -> (if (n <= 8L * k) "ffffffff"
+            else hexThreshold(math.min(1.0, 8.0 * k / n.toDouble)))
+    }
+    val thrCol = element_at(typedLit(thresholds), col(stratumCol))
+    val survivors = df.filter(hashPrefix(col(keyCol), salt) <= thrCol)
+    val sampled = windowed(survivors)
+    // Deficit check (exact, tiny): a stratum must yield min(k, n_s) rows.
+    val got = sampled.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deficient = counts.collect {
+      case (s, n) if got.getOrElse(s, 0L) < math.min(k.toLong, n) => s
+    }.toSeq
+    val base =
+      if (deficient.isEmpty) sampled
+      else {
+        // Binomially rare (and certain to fix: the full window is exact).
+        val fixed = windowed(df.filter(col(stratumCol).isin(deficient: _*)))
+        sampled.filter(!col(stratumCol).isin(deficient: _*)).unionByName(fixed)
+      }
+    if (!hasNullStratum) base
+    else base.unionByName(windowed(df.filter(col(stratumCol).isNull)))
   }
 
   /** Assign every row a split label ("train"/"val"/"test"/…) by disjoint

@@ -845,6 +845,22 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0)), s"repeated word counts once: ${got(3L)}")
   }
 
+  test("sampleKPerStratum: prefiltered path is bit-identical to the plain window path") {
+    import graft.ops.Sampling
+    // strata well above and below the 8k pre-prune cutoff, plus nulls
+    val rows = (1L to 400L).map(i => (i, if (i <= 300) "big" else "small")) ++
+      (401L to 410L).map(i => (i, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "source")
+    for (k <- Seq(1, 3, 25)) {
+      val fast = Sampling.sampleKPerStratum(df, "doc_id", "source", k, salt = "t")
+        .as[(Long, Option[String])].collect().toSet
+      val plain = Sampling.sampleKPerStratum(df, "doc_id", "source", k, salt = "t",
+        prefilter = false).as[(Long, Option[String])].collect().toSet
+      assert(fast == plain, s"k=$k: prefiltered selection diverged\n${fast diff plain}\n${plain diff fast}")
+      assert(fast.count(_._2.isEmpty) == math.min(k, 10), s"k=$k: null stratum mishandled")
+    }
+  }
+
   test("splitAssign: the ffffffff hash prefix belongs to the final split when fractions sum to 1") {
     import graft.ops.Sampling
     val prefixes = Seq(Some("00000000"), Some("cccccccb"), Some("cccccccc"),
