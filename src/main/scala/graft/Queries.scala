@@ -91,14 +91,15 @@ object Queries {
       )
       .orderBy("priority", "status")
 
-  def q07WindowTopK(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+  /** Top-3 orders per priority — routed through [[ops.TopK.topKPerGroup]]
+    * (two-phase salted tournament): priorities are a 5-value domain, so a
+    * bare partitioned window would sort each whole priority on one task.
+    */
+  def q07WindowTopK(s: SparkSession, dir: String): DataFrame =
+    ops.TopK.topKPerGroup(t(s, dir, "orders"), Seq("o_orderpriority"),
+      Seq(cents(col("o_totalprice")) -> false, col("o_orderkey") -> true), k = 3)
       .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
       .orderBy("o_orderpriority", "rank")
-  }
 
   def q08DistinctExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(

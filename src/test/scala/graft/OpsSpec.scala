@@ -845,6 +845,22 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0)), s"repeated word counts once: ${got(3L)}")
   }
 
+  test("topKPerGroup: two-phase tournament is bit-identical to the single window") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 groups, heavy value ties (v has only 7 distinct values) — the
+    // unique total order comes from the id tiebreak
+    val df = (1L to 500L).map(i => (i, s"g${i % 2}", i * 31 % 7)).toDF("id", "grp", "v")
+    for (k <- Seq(1, 4, 10); fanout <- Seq(2, 64)) {
+      val fast = graft.ops.TopK.topKPerGroup(df, Seq("grp"),
+        Seq(col("v") -> false, col("id") -> true), k, fanout = fanout)
+        .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+      val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
+      val plain = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+      assert(fast == plain, s"k=$k fanout=$fanout:\n${fast diff plain}\n${plain diff fast}")
+    }
+  }
+
   test("sampleKPerStratum: prefiltered path is bit-identical to the plain window path") {
     import graft.ops.Sampling
     // strata well above and below the 8k pre-prune cutoff, plus nulls
