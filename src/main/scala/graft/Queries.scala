@@ -687,6 +687,21 @@ object Queries {
       budgetTokens = 800L, orderCols = Seq("n_tokens" -> false, "doc_id" -> true), buckets = 8)
       .orderBy("doc_id")
 
+  /** Per-row weighted sampling ([[ops.Sampling.weightedSample]]): keep
+    * probability ∝ document length (rate = min(1, n_tokens/50)) — the
+    * quality/importance-weighted Bernoulli of data-selection pipelines, as
+    * a deterministic hash predicate. The rate is one IEEE divide over an
+    * exact integer, so DuckDB reproduces membership bit-for-bit.
+    */
+  def q70WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ops.Sampling.weightedSample(docs, "doc_id",
+      least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)), salt = "wt")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the composition the individual
     * operators exist for, as ONE lazy plan: exact dedup (keep min doc_id
     * per text, [[ops.Dedup.exact]]) → quality gate (≥ 5 tokens) →
@@ -1199,7 +1214,8 @@ object Queries {
     "q66_mixture_sample" -> (q66MixtureSample _),
     "q67_bpe_merge_pairs" -> (q67BpeMergePairs _),
     "q68_token_budget" -> (q68TokenBudget _),
-    "q69_curation_pipeline" -> (q69CurationPipeline _)
+    "q69_curation_pipeline" -> (q69CurationPipeline _),
+    "q70_weighted_sample" -> (q70WeightedSample _)
   )
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1960,6 +1976,19 @@ object Queries {
                FROM k)
          SELECT doc_id, source, n AS n_tokens, tb AS tok_before, o AS tok_offset,
                 o // 256 AS bin_first, (o + n - 1) // 256 AS bin_last
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+    "q70_weighted_sample" ->
+      // per-row rate = least(1, n/50) -> trunc(rate * 2^32) clamped,
+      // 8-hex-lowercase threshold, md5-prefix membership — the identical
+      // predicate Sampling.hexThresholdCol compiles
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+         SELECT doc_id, n AS n_tokens FROM t
+         WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'wt'), 1, 8) <
+               printf('%08x', greatest(CAST(0 AS BIGINT),
+                 least(CAST(trunc(least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / 50.0)
+                                  * 4294967296.0) AS BIGINT), 4294967295)))
+         ORDER BY doc_id"""
   )
 }

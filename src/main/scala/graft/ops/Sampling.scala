@@ -50,6 +50,36 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, rate: Double, salt: String = ""): DataFrame =
     df.filter(hashPrefix(col(keyCol), salt) < lit(hexThreshold(rate)))
 
+  /** [[hexThreshold]] as a COLUMN over a per-row rate in [0,1] — the same
+    * trunc-to-2^32, clamp, 8-hex-lowercase pipeline, expressible verbatim
+    * in any engine with printf/hex (q70's oracle uses DuckDB's
+    * printf('%08x', ...)). Null rates yield a null threshold, and a null
+    * comparison keeps nothing — null-rated rows are excluded, same as
+    * rate 0.
+    */
+  def hexThresholdCol(rate: Column): Column = {
+    // least/greatest SKIP nulls in Spark, so a null rate would clamp to
+    // "ffffffff" — keep-everything, the opposite of the documented
+    // exclusion. Gate nullity explicitly.
+    val t = greatest(lit(0L), least(
+      (rate.cast("double") * lit(4294967296.0)).cast("long"),
+      lit(4294967295L)))
+    when(rate.isNull, lit(null).cast("string")).otherwise(lpad(lower(hex(t)), 8, "0"))
+  }
+
+  /** Per-row WEIGHTED deterministic sample: keep iff
+    * hashFraction(key, salt) < rateCol — Bernoulli with a row-level
+    * probability (quality-proportional sampling, per-record importance
+    * weights). Membership stays a pure function of (key, salt, rate):
+    * rerun/retry/repartition-stable, and expected kept mass is
+    * sum(rateCol). One codegen'd scan + filter, no shuffle, no UDF —
+    * [[stratifiedSample]]'s shape with the when-chain replaced by
+    * arithmetic on the row itself, so the rate domain is unbounded
+    * (clamped to [0,1] by the caller's expression or the 2^32 clamp).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, rateCol: Column, salt: String = ""): DataFrame =
+    df.filter(hashPrefix(col(keyCol), salt) < hexThresholdCol(rateCol))
+
   /** Per-stratum rates (unlisted strata get `defaultRate`): the downsample-
     * the-majority-class / rebalance-by-source staple. Rates compile to a
     * single when-chain — no join, no shuffle, one codegen'd predicate.

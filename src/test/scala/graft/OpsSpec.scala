@@ -845,6 +845,22 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0)), s"repeated word counts once: ${got(3L)}")
   }
 
+  test("hexThresholdCol: per-row thresholds clamp and format like the scalar path") {
+    import graft.ops.Sampling
+    val rates = Seq(Some(0.0), Some(0.25), Some(1.0), Some(1.5), Some(-0.5),
+      None: Option[Double]).toDF("r")
+    val got = rates.select(Sampling.hexThresholdCol(col("r")).as("t"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("00000000"), Some("40000000"), Some("ffffffff"),
+      Some("ffffffff"), Some("00000000"), None), s"$got")
+    // weighted sample with rate 0 keeps nothing; rate 1 keeps all but the
+    // ffffffff hash prefix (the documented scalar-path simplification)
+    val df = (1L to 50L).map(i => (i, if (i <= 25) 0.0 else 1.0)).toDF("id", "rate")
+    val kept = Sampling.weightedSample(df, "id", col("rate"), salt = "x")
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(kept.forall(_ > 25) && kept.size >= 24, s"$kept")
+  }
+
   test("topKPerGroup: two-phase tournament is bit-identical to the single window") {
     import org.apache.spark.sql.expressions.Window
     // 2 groups, heavy value ties (v has only 7 distinct values) — the
