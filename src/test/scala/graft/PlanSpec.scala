@@ -198,14 +198,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("deterministic sampling is one codegen'd scan + filter: no shuffle, no UDF") {
-    val df = Queries.q53StratifiedSample(spark, sfDir)
-    df.collect()
-    val p = plan(df).split("== Initial Plan ==")(0)
-    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
-      "sampling must not use a UDF (md5/substr are built-ins)")
-    // membership is a per-row predicate — the only exchange is the final
-    // presentation orderBy's range partitioning, never a hash shuffle
-    assert(!p.contains("Exchange hashpartitioning"), s"sampling shuffled:\n${p.take(1200)}")
+    for (df <- Seq(Queries.q53StratifiedSample(spark, sfDir),
+        Queries.q70WeightedSample(spark, sfDir))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+        "sampling must not use a UDF (md5/substr/hex are built-ins)")
+      // membership is a per-row predicate — the only exchange is the final
+      // presentation orderBy's range partitioning, never a hash shuffle
+      assert(!p.contains("Exchange hashpartitioning"), s"sampling shuffled:\n${p.take(1200)}")
+    }
   }
 
   test("pruned probe pushes the batch's band keys into the STORED keys scan") {
