@@ -334,7 +334,9 @@ object Queries {
 
   def imgUniqueness(s: SparkSession): DataFrame = {
     import s.implicits._
-    val p = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4).toDF())
+    // meta-only generation: profile touches only (image_id, phash, w, h,
+    // fmt) and pruning can't reach inside the generator — skip the encode
+    val p = ColumnProfiler.profile(SyntheticImages.imagesMeta(s, 3000, 4).toDF())
     Seq(
       ("image_id", ColumnProfiler.uniqueness(p, "image_id", 0.97)),
       ("phash", ColumnProfiler.uniqueness(p, "phash", 0.9))
@@ -345,8 +347,9 @@ object Queries {
 
   def imgDrift(s: SparkSession): DataFrame = {
     import s.implicits._
-    val base = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4).toDF())
-    val cur = ColumnProfiler.profile(SyntheticImages.images(s, 3000, 4, drift = true).toDF())
+    // meta-only generation on both sides (same rationale as imgUniqueness)
+    val base = ColumnProfiler.profile(SyntheticImages.imagesMeta(s, 3000, 4).toDF())
+    val cur = ColumnProfiler.profile(SyntheticImages.imagesMeta(s, 3000, 4, drift = true).toDF())
     graft.drift.Drift.report(base, cur).scores
       .map(d => (d.metric, d.column, math.round(d.value * 100) / 100.0, d.pass))
       .toDF("metric", "column", "value_2dp", "pass")
@@ -355,7 +358,8 @@ object Queries {
 
   def imgReferential(s: SparkSession): DataFrame = {
     import s.implicits._
-    val imgs = SyntheticImages.images(s, 3000, 4).toDF().drop("bytes")
+    // only image_id is consumed: no render, no encode (withPhash = false)
+    val imgs = SyntheticImages.imagesMeta(s, 3000, 4, withPhash = false).toDF()
     val caps = SyntheticImages.captions(s, 3000, 4)
     val r = Referential.check(imgs, caps)
     Seq((r.orphanImages, r.danglingCaptions, r.pass)).toDF("orphan_images", "dangling_captions", "pass")
@@ -367,7 +371,8 @@ object Queries {
   def imgNearDup(s: SparkSession): DataFrame =
     Dedup
       .phashPairs(
-        SyntheticImages.images(s, 3000, 4).toDF().select(col("image_id"), col("phash")),
+        // meta-only: phash comes from the same render, the encode is skipped
+        SyntheticImages.imagesMeta(s, 3000, 4).toDF().select(col("image_id"), col("phash")),
         "image_id", "phash", maxHamming = 3, maxBucket = 200)
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"))
@@ -407,7 +412,8 @@ object Queries {
     * an exact oracle for a genuinely iterative distributed algorithm.
     */
   def q36DedupComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.components(qPhashNearDup(s, dir))
+    // phashPairs returns distinct (id_a < id_b) pairs — skip the edge dedup
+    Dedup.components(qPhashNearDup(s, dir), pairsDistinct = true)
       .select(col("id"), col("component"))
 
   /** Pairs → groups → the DROP list (keep min id per group) — the decision
@@ -416,7 +422,7 @@ object Queries {
     * group's min.
     */
   def q46PruneList(s: SparkSession, dir: String): DataFrame =
-    Dedup.pruneList(qPhashNearDup(s, dir))
+    Dedup.pruneList(qPhashNearDup(s, dir), pairsDistinct = true)
       .orderBy("drop_id")
 
   /** Quality-policy keeper selection: keep the highest-scored member per
@@ -427,7 +433,7 @@ object Queries {
   def q49PruneByScore(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scores = docs.select(col("doc_id"), (col("doc_id") * 37 % 11).as("score"))
-    Dedup.pruneListByScore(qPhashNearDup(s, dir), scores, "doc_id", "score")
+    Dedup.pruneListByScore(qPhashNearDup(s, dir), scores, "doc_id", "score", pairsDistinct = true)
       .orderBy("drop_id")
   }
 
@@ -868,8 +874,10 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy(TextOps.langId(col("text")).as("predicted_lang"))
+    // staged langId: token array + best-language struct materialized once
+    // per row instead of 8 re-tokenizations inside one grouping expression
+    TextOps.langIdStaged(t(s, dir, "documents"), "text", "predicted_lang")
+      .groupBy(col("predicted_lang"))
       .count()
       .orderBy("predicted_lang")
 

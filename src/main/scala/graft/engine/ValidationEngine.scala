@@ -153,14 +153,26 @@ object ValidationEngine {
     * message-only (/root/reference/lib/eventgate.js:42-60).
     */
   def violationRows(annotated: DataFrame, snapshotId: String, idField: String): DataFrame = {
-    val invalidRows = annotated
-      .filter(col("status") === Status.Invalid)
+    // ONE scan of `annotated` for both failure classes: a union of separate
+    // invalid/error branches would re-derive the annotated subtree twice
+    // (for an in-plan engine call that is two full constraint-eval — and,
+    // with pixel checks, decode — passes over the input). Error rows become
+    // a synthetic one-element violations array; the explode then emits
+    // exactly the rows the old two-branch union produced.
+    annotated
+      .filter(col("status") === Status.Invalid || col("status") === Status.Error)
       .select(
         lit(snapshotId).as("snapshot_id"),
         col("partition_id"),
         col(idField).as("image_id"),
-        explode(col("violations")).as("v"),
-        lit(Status.Invalid).as("status")
+        explode(
+          when(col("status") === Status.Invalid, col("violations"))
+            .otherwise(array(struct(
+              lit("engine_error").as("constraint_id"),
+              lit("bytes").as("field"),
+              col("engine_error").as("detail"))))
+        ).as("v"),
+        col("status")
       )
       .select(
         col("snapshot_id"),
@@ -171,18 +183,6 @@ object ValidationEngine {
         col("v.detail"),
         col("status")
       )
-    val errorRows = annotated
-      .filter(col("status") === Status.Error)
-      .select(
-        lit(snapshotId).as("snapshot_id"),
-        col("partition_id"),
-        col(idField).as("image_id"),
-        lit("engine_error").as("constraint_id"),
-        lit("bytes").as("field"),
-        col("engine_error").as("detail"),
-        lit(Status.Error).as("status")
-      )
-    invalidRows.unionByName(errorRows)
   }
 
   /** Parquet-facing schema of [[violationRows]] (for empty-batch writes). */

@@ -167,16 +167,25 @@ object SyntheticImages {
   private val contentCache =
     new java.util.concurrent.ConcurrentHashMap[Long, (Array[Byte], Long, Int, Int, String)]()
 
+  /** The cheap metadata slice of [[contentOf]]: (w, h, fmt) are pure
+    * arithmetic over mixAt(ci, 3) — no render, no encode. Factored out so
+    * meta-only generation and [[contentOf]] share one derivation.
+    */
+  private def dimsFmtOf(ci: Long, drift: Boolean): (Int, Int, String) = {
+    val r = mixAt(ci, 3)
+    val dims = if (drift) dimsDrift else dimsBase
+    val w0 = dims(((r >>> 3) % dims.length).toInt.abs)
+    val h0 = dims(((r >>> 13) % dims.length).toInt.abs)
+    // fmt mix: base png-heavy, drift jpeg-heavy (reproducible drift in fmt PSI)
+    val fdraw = ((r >>> 23) & 0xff).toInt
+    val fmt0 = if (drift) { if (fdraw < 64) "png" else "jpeg" }
+    else { if (fdraw < 160) "png" else "jpeg" }
+    (w0, h0, fmt0)
+  }
+
   private def contentOf(ci: Long, drift: Boolean, cache: Boolean): (Array[Byte], Long, Int, Int, String) = {
     def compute(): (Array[Byte], Long, Int, Int, String) = {
-      val r = mixAt(ci, 3)
-      val dims = if (drift) dimsDrift else dimsBase
-      val w0 = dims(((r >>> 3) % dims.length).toInt.abs)
-      val h0 = dims(((r >>> 13) % dims.length).toInt.abs)
-      // fmt mix: base png-heavy, drift jpeg-heavy (reproducible drift in fmt PSI)
-      val fdraw = ((r >>> 23) & 0xff).toInt
-      val fmt0 = if (drift) { if (fdraw < 64) "png" else "jpeg" }
-      else { if (fdraw < 160) "png" else "jpeg" }
+      val (w0, h0, fmt0) = dimsFmtOf(ci, drift)
       val img = renderImage(ci, w0, h0)
       val bytes0 = if (fmt0 == "png") encodePng(img) else encodeJpeg(img)
       (bytes0, averageHash(img), w0, h0, fmt0)
@@ -185,9 +194,19 @@ object SyntheticImages {
     else contentCache.computeIfAbsent(ci * 2 + (if (drift) 1 else 0), _ => compute())
   }
 
-  def rowOf(i: Long, drift: Boolean, contentPool: Int): ImageRow = {
-    val ci = if (contentPool > 0) i % contentPool else i
-    val (bytes0, phash0, w0, h0, fmt0) = contentOf(ci, drift, cache = contentPool > 0)
+  /** phash without the PNG/JPEG encode: renders the pixels (the hash is a
+    * function of them) but skips ImageIO encoding entirely — identical
+    * value to [[contentOf]]'s phash by construction (same renderImage).
+    */
+  private def phashOf(ci: Long, drift: Boolean): Long = {
+    val (w0, h0, _) = dimsFmtOf(ci, drift)
+    averageHash(renderImage(ci, w0, h0))
+  }
+
+  /** Planted-anomaly decoration shared by [[rowOf]] and [[metaRowOf]] —
+    * one implementation so the full and meta-only rows can never diverge.
+    */
+  private def decorate(i: Long, ci: Long, drift: Boolean, w0: Int, h0: Int, fmt0: String, phash0: Long): ImageMetaRow = {
     val caption0 = {
       val words = Array("ochre", "ridge", "harbor", "lantern", "mosaic", "drift", "meadow", "copper", "quiet", "signal")
       val k = mixAt(i, 4)
@@ -207,9 +226,33 @@ object SyntheticImages {
       else fmt0
     val w = if (Plant.bigW(i)) 1 << 20 else if (Plant.zeroW(i)) 0 else if (Plant.dimsMismatch(i)) w0 + 1 else w0
     val h = if (Plant.negH(i)) -5 else h0
-    val bytes = if (Plant.truncatedBytes(i)) bytes0.take(10) else bytes0
     val phash = if (Plant.hotPhash(i)) hotPhashes((i % 8).toInt) else phash0
-    ImageRow(id, bytes, w, h, fmt, caption, phash)
+    ImageMetaRow(id, w, h, fmt, caption, phash)
+  }
+
+  def rowOf(i: Long, drift: Boolean, contentPool: Int): ImageRow = {
+    val ci = if (contentPool > 0) i % contentPool else i
+    val (bytes0, phash0, w0, h0, fmt0) = contentOf(ci, drift, cache = contentPool > 0)
+    val m = decorate(i, ci, drift, w0, h0, fmt0, phash0)
+    val bytes = if (Plant.truncatedBytes(i)) bytes0.take(10) else bytes0
+    ImageRow(m.image_id, bytes, m.w, m.h, m.fmt, m.caption, m.phash)
+  }
+
+  /** [[rowOf]] minus `bytes` (and, with `withPhash = false`, minus the
+    * pixel render): every emitted field is byte-identical to the full row's
+    * — id/caption/fmt/w/h are pure index arithmetic and phash comes from
+    * the same renderImage — but the ImageIO encode (the dominant generation
+    * cost) is skipped. For consumers that never read `bytes`: Parquet-style
+    * column pruning cannot reach inside a mapPartitions generator, so the
+    * pruning has to happen HERE, at row construction.
+    */
+  final case class ImageMetaRow(image_id: String, w: Int, h: Int, fmt: String, caption: String, phash: Long)
+
+  def metaRowOf(i: Long, drift: Boolean, contentPool: Int, withPhash: Boolean): ImageMetaRow = {
+    val ci = if (contentPool > 0) i % contentPool else i
+    val (w0, h0, fmt0) = dimsFmtOf(ci, drift)
+    val phash0 = if (withPhash) phashOf(ci, drift) else 0L
+    decorate(i, ci, drift, w0, h0, fmt0, phash0)
   }
 
   // --------------------------------------------------------- generators ----
@@ -222,6 +265,18 @@ object SyntheticImages {
   def images(spark: SparkSession, n: Long, numPartitions: Int, drift: Boolean = false, contentPool: Int = 0): Dataset[ImageRow] = {
     import spark.implicits._
     spark.range(0, n, 1, numPartitions).as[Long].mapPartitions(_.map(i => rowOf(i, drift, contentPool)))
+  }
+
+  /** Metadata-only generation ([[metaRowOf]]): same values for every
+    * emitted column as [[images]], with the encode (and optionally the
+    * render) skipped. Use whenever the consumer never touches `bytes` —
+    * profiling, drift, referential checks, phash-based dedup.
+    */
+  def imagesMeta(spark: SparkSession, n: Long, numPartitions: Int, drift: Boolean = false,
+      contentPool: Int = 0, withPhash: Boolean = true): Dataset[ImageMetaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .mapPartitions(_.map(i => metaRowOf(i, drift, contentPool, withPhash)))
   }
 
   /** Captions side table: images minus planted orphans plus planted dangling

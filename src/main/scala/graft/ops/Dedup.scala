@@ -237,7 +237,15 @@ object Dedup {
           val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
           val spark = corpusKeyRows.sparkSession
           val current = scala.util.Try(spark.conf.get(confKey).toInt).getOrElse(10)
-          if (current < ks.length) spark.conf.set(confKey, ks.length.toString)
+          if (current < ks.length) {
+            spark.conf.set(confKey, ks.length.toString)
+            // Surfaced deliberately (round-6 advisory): the raise outlives
+            // this probe — long-lived sessions that pinned a lower value
+            // should reset the key after the probe executes.
+            System.err.println(
+              s"[graft] raised session conf $confKey $current -> ${ks.length} " +
+                "for band-key In pushdown; persists until reset")
+          }
           corpusKeyRows.filter(col("band_key").isin(ks.toSeq: _*))
         }
       }
@@ -438,23 +446,40 @@ object Dedup {
     * not a corpus-scale recompute. Returns (id, component) for every id
     * appearing in `pairs`, component = min id of its component.
     */
-  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+  /** @param pairsDistinct callers producing pairs that are already distinct
+    *   with idA < idB (every kernel in this file — their pair lists pass
+    *   through `.distinct()` or a groupBy before returning) can skip the
+    *   edge-dedup shuffle: forward and reversed edges are then disjoint by
+    *   construction, so the union is distinct for free.
+    */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20,
+      pairsDistinct: Boolean = false): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
-    var moved = 1L
-    var iter = 0
+    val edges0 = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = (if (pairsDistinct) edges0 else edges0.distinct()).localCheckpoint()
+    // Round 1 fused with label initialization: label(v) starts as v, so the
+    // first propagation is simply min(v, min over neighbor IDS) — one
+    // map-side-combining aggregate over the edge list, no init frame, no
+    // edges⋈labels join, one checkpoint fewer. The moved-count rides the
+    // checkpoint's materialization job as an Observation — ONE job per
+    // round, never a second count scan (round-3 advisory).
+    val obs1 = new org.apache.spark.sql.Observation()
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nc"))
+      .select(col("id"), least(col("id"), col("nc")).as("component"),
+        (col("nc") < col("id")).as("_moved"))
+      .observe(obs1, sum(when(col("_moved"), 1L).otherwise(0L)).as("moved"))
+      .localCheckpoint()
+      .drop("_moved")
+    var moved = Option(obs1.get.getOrElse("moved", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var iter = 1
     while (moved > 0 && iter < maxIter) {
       // candidate label per node: min over its own label and neighbors' labels
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nc"))
-      // The moved-count rides the checkpoint's own materialization job as an
-      // Observation — ONE job per round, not a checkpoint plus a second
-      // count scan over the checkpointed data (round-3 advisory).
       val obs = new org.apache.spark.sql.Observation()
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
@@ -483,8 +508,9 @@ object Dedup {
     * [[components]]; anti-joining drop_id against the corpus is the
     * caller's one-line finish.
     */
-  def pruneList(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20): DataFrame =
-    components(pairs, idA, idB, maxIter)
+  def pruneList(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20,
+      pairsDistinct: Boolean = false): DataFrame =
+    components(pairs, idA, idB, maxIter, pairsDistinct)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("drop_id"), col("component").as("keep_id"))
 
@@ -511,9 +537,10 @@ object Dedup {
       scoreCol: String,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      pairsDistinct: Boolean = false
   ): DataFrame = {
-    val comp = components(pairs, idA, idB, maxIter)
+    val comp = components(pairs, idA, idB, maxIter, pairsDistinct)
       .join(scores.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"), "left")
     val w = Window.partitionBy(col("component"))
       .orderBy(col("_score").desc_nulls_last, col("id"))

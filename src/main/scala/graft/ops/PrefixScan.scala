@@ -73,12 +73,17 @@ object PrefixScan {
     require(!df.columns.contains(resultCol),
       s"result column $resultCol already exists in the input")
 
+    // Skip the persist when the caller already persisted `df` (storageLevel
+    // != NONE): re-persisting the same plan is at best a no-op and at worst
+    // a second cache entry held for the session (round-6 advisory).
+    val ownPersist = persistInput &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val in =
-      if (persistInput) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (ownPersist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val keyCols = orderCols.map { case (c, _) => col(c) }
     val n = in.count()
-    if (n == 0L) { if (persistInput) in.unpersist(); return df.withColumn(resultCol, lit(0L)) }
+    if (n == 0L) { if (ownPersist) in.unpersist(); return df.withColumn(resultCol, lit(0L)) }
 
     // Boundary sample: deterministic seed; fraction aims at ~sampleSize
     // rows. Boundaries only steer balance — correctness is independent of

@@ -124,16 +124,24 @@ object Sampling {
     * false` to keep the original single-pass plan (required when the
     * stratum column is not a string).
     */
+  /** @param persistInput the prefiltered path makes three passes over `df0`
+    *   (stratum counts, the survivors window, the deficit check) plus the
+    *   caller's final action — persist it for the build (MEMORY_AND_DISK,
+    *   skipped when the caller already persisted it), mirroring
+    *   [[PrefixScan.runningTotal]]'s policy (round-6 verdict task). The
+    *   cache is left to session lifecycle for the same lazy-result reason.
+    */
   def sampleKPerStratum(
-      df: DataFrame,
+      df0: DataFrame,
       keyCol: String,
       stratumCol: String,
       k: Int,
       salt: String = "",
-      prefilter: Boolean = true
+      prefilter: Boolean = true,
+      persistInput: Boolean = true
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(!df.columns.contains("_sample_rank"),
+    require(!df0.columns.contains("_sample_rank"),
       "sampleKPerStratum reserves working column _sample_rank — rename before sampling")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
@@ -142,10 +150,14 @@ object Sampling {
       in.withColumn("_sample_rank", row_number().over(w))
         .filter(col("_sample_rank") <= k)
         .drop("_sample_rank")
-    if (!prefilter) return windowed(df)
-    require(df.schema(stratumCol).dataType == org.apache.spark.sql.types.StringType,
-      s"prefilter needs a string stratum column (got ${df.schema(stratumCol).dataType}); " +
+    if (!prefilter) return windowed(df0)
+    require(df0.schema(stratumCol).dataType == org.apache.spark.sql.types.StringType,
+      s"prefilter needs a string stratum column (got ${df0.schema(stratumCol).dataType}); " +
         "pass prefilter = false")
+    val df =
+      if (persistInput && df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df0
 
     val rawCounts = df.groupBy(col(stratumCol)).count().collect()
     // A null stratum can't join the literal threshold map — route those

@@ -152,8 +152,15 @@ object Similarity {
       * data row to its nearest-centroid bucket.
       */
     def fit(data: DataFrame, idCol: String, vecCol: String, numCentroids: Int, seed: Long = 42L): IvfIndex = {
+      // Persisted across the fit: k-means|| init + up to 8 Lloyd rounds +
+      // the assignment transform are each a full pass over `feat`; without
+      // the cache every pass re-reads the source and re-runs
+      // array_to_vector (measured: the fit dominates q26/q41). Same
+      // internal-persist lifecycle as Dedup.signaturePairs — `assigned` is
+      // lazy, so the cache stays until the session drops it.
       val feat = data.select(col(idCol).as("data_id"), col(vecCol).as("_dv"))
         .withColumn("features", array_to_vector(col("_dv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Coarse quantizer only: k-means|| init (random init measurably hurts
       // bucket balance → recall) but bounded Lloyd iterations — for an IVF
       // bucketer the centroids need only partition the space roughly; the

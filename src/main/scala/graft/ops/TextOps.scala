@@ -289,6 +289,32 @@ object TextOps {
       .otherwise(lit("und"))
   }
 
+  /** [[langId]] decomposed into projection STAGES (adds `outCol` to `df`):
+    * identical result, different plan. As one Column, `toks` is inlined
+    * into each language's `filter` lambda and `best` into both of its
+    * consumers — the text is lowercased+split up to 8× per row, and
+    * higher-order-function lambdas are excluded from codegen subexpression
+    * elimination, so nothing dedupes it (measured: the q23 grouping
+    * expression carried 8 `split(trim(lower(text)))` subtrees). Staging
+    * materializes the token array and the best-language struct once per
+    * row; Catalyst keeps the stages because the aliases are non-cheap and
+    * multiply referenced (CollapseProject's own rule).
+    */
+  def langIdStaged(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val c = col(textCol)
+    val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(col("_lang_toks"), t => t.isin(sw: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast("double")
+    df.withColumn("_lang_toks", tokens(lower(c)))
+      .withColumn("_lang_best", array_max(array(scored: _*)))
+      .withColumn(outCol,
+        when(length(c) > 0 && cjk / length(c) > 0.2, lit("zh"))
+          .when(col("_lang_best").getField("score") > 0, col("_lang_best").getField("lang"))
+          .otherwise(lit("und")))
+      .drop("_lang_toks", "_lang_best")
+  }
+
   /** Bigram language-model quality scoring — the CCNet-style perplexity
     * filter (Wenzek et al. 2020 score web text against a reference-corpus
     * LM and keep the low-perplexity head; this is the same shape with an

@@ -742,6 +742,17 @@ class OpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("langIdStaged ≡ langId on real documents (incl. null/empty text)") {
+    val withEdge = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, null.asInstanceOf[String]), (-2L, ""), (-3L, "   "))
+        .toDF("doc_id", "text"))
+    val staged = TextOps.langIdStaged(withEdge, "text", "lang")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val direct = withEdge.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(staged == direct, s"${staged.toSet diff direct.toSet}")
+  }
+
   test("quality metrics sane on real documents") {
     val q = docs.select(TextOps.qualityStruct(col("text")).as("q")).select("q.*")
     val row = q.agg(
@@ -861,20 +872,39 @@ class OpsSpec extends SparkSpec {
     assert(kept.forall(_ > 25) && kept.size >= 24, s"$kept")
   }
 
-  test("topKPerGroup: two-phase tournament is bit-identical to the single window") {
+  test("topKPerGroup: bounded-heap aggregate and salted tournament are bit-identical to the single window") {
     import org.apache.spark.sql.expressions.Window
     // 2 groups, heavy value ties (v has only 7 distinct values) — the
-    // unique total order comes from the id tiebreak
-    val df = (1L to 500L).map(i => (i, s"g${i % 2}", i * 31 % 7)).toDF("id", "grp", "v")
-    for (k <- Seq(1, 4, 10); fanout <- Seq(2, 64)) {
-      val fast = graft.ops.TopK.topKPerGroup(df, Seq("grp"),
-        Seq(col("v") -> false, col("id") -> true), k, fanout = fanout)
+    // unique total order comes from the id tiebreak; nulls in v exercise the
+    // aggregate's desc⇒nulls-last ordering parity with the window sort
+    val df = (1L to 500L).map(i => (i, s"g${i % 2}", if (i % 97 == 0) None else Some(i * 31 % 7)))
+      .toDF("id", "grp", "v")
+    for (k <- Seq(1, 4, 10)) {
+      val agg = graft.ops.TopK.topKPerGroup(df, Seq("grp"),
+        Seq(col("v") -> false, col("id") -> true), k)
         .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
       val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
       val plain = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
-      assert(fast == plain, s"k=$k fanout=$fanout:\n${fast diff plain}\n${plain diff fast}")
+      assert(agg == plain, s"k=$k agg:\n${agg diff plain}\n${plain diff agg}")
+      for (fanout <- Seq(2, 64)) {
+        val salted = graft.ops.TopK.topKPerGroupSalted(df, Seq("grp"),
+          Seq(col("v") -> false, col("id") -> true), k, fanout = fanout)
+          .select("grp", "rank", "id").as[(String, Int, Long)].collect().toSet
+        assert(salted == plain, s"k=$k fanout=$fanout:\n${salted diff plain}\n${plain diff salted}")
+      }
     }
+  }
+
+  test("topKPerGroup plan: partial bounded-heap aggregation, no window over the input") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 2}", i * 31 % 7)).toDF("id", "grp", "v")
+    val plan = graft.ops.TopK.topKPerGroup(df, Seq("grp"),
+      Seq(col("v") -> false, col("id") -> true), 3)
+      .queryExecution.executedPlan.toString
+    // Partial mode present ⇒ each map task ships ≤ k rows per group — the
+    // exchange is bounded by survivors, not input rows.
+    assert(plan.contains("partial_bounded_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("sampleKPerStratum: prefiltered path is bit-identical to the plain window path") {
