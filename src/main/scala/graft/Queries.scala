@@ -323,7 +323,11 @@ object Queries {
   }
 
   def imgViolations(s: SparkSession): DataFrame = {
-    val imgs = SyntheticImages.images(s, 3000, 4).toDF()
+    // 32 generator partitions: this query's output groups by constraint
+    // only (no partition_id), so the result is partitioning-independent —
+    // unlike imgRollup, whose per-partition rows pin numPartitions = 4.
+    // The encode+decode pass is the whole cost and was 4-way-parallel.
+    val imgs = SyntheticImages.images(s, 3000, 32).toDF()
     new ValidationEngine(ImageConstraints.v1, EngineOptions(snapshotId = "entry", pixelChecks = Some(PixelChecks())))
       .process(imgs)
       .violations
@@ -371,8 +375,10 @@ object Queries {
   def imgNearDup(s: SparkSession): DataFrame =
     Dedup
       .phashPairs(
-        // meta-only: phash comes from the same render, the encode is skipped
-        SyntheticImages.imagesMeta(s, 3000, 4).toDF().select(col("image_id"), col("phash")),
+        // meta-only: phash comes from the same render, the encode is
+        // skipped; 32 generator partitions — the pair set is a pure
+        // function of (id, phash) values, so partitioning can't move it
+        SyntheticImages.imagesMeta(s, 3000, 32).toDF().select(col("image_id"), col("phash")),
         "image_id", "phash", maxHamming = 3, maxBucket = 200)
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"))
@@ -819,7 +825,9 @@ object Queries {
   }
 
   def imgFeatures(s: SparkSession): DataFrame = {
-    val imgs = SyntheticImages.images(s, 500, 4).toDF()
+    // 16 generator partitions: output (ok → count) is partitioning-
+    // independent; the render+encode+decode per row is the whole cost
+    val imgs = SyntheticImages.images(s, 500, 16).toDF()
     imgs
       .select(col("image_id"), Multimodal.imageFeatures(col("bytes")).as("f"))
       .select(col("f.ok").as("ok"))
@@ -1067,7 +1075,10 @@ object Queries {
     val incoming = t(s, dir, "documents").filter(col("doc_id") < 15)
       .select((col("doc_id") + 4000000).as("doc_id"), concat(col("text"), lit(" zq")).as("text"))
     Dedup
-      .minhashPairsAgainst(corpus, incoming, "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8)
+      .minhashPairsAgainst(corpus, incoming, "doc_id", "text", shingleK = 5, numHashes = 64, numBands = 16, threshold = 0.8,
+        // 15-doc arriving batch: a parquet round trip costs more than
+        // re-shingling it at its second reference
+        materializeIncoming = false)
       .select(col("corpus_id"), col("incoming_id"), round(col("jaccard"), 3).as("jaccard_3dp"))
       .orderBy("corpus_id", "incoming_id")
   }

@@ -141,6 +141,12 @@ object Dedup {
     * reused verbatim for every future batch. Both sides capped with
     * separately observable drops.
     */
+  /** @param materializeIncoming write the incoming side's signature frame
+    *   to storage like the corpus side's (the default — an incoming batch
+    *   can be arbitrarily large and is referenced twice downstream). Pass
+    *   false for BOUNDED small batches: re-shingling a few rows twice is
+    *   cheaper than a parquet write+read round trip per call.
+    */
   def minhashPairsAgainst(
       corpus: DataFrame,
       incoming: DataFrame,
@@ -150,12 +156,15 @@ object Dedup {
       numHashes: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = DefaultMaxBucket
-  ): DataFrame =
+      maxBucket: Int = DefaultMaxBucket,
+      materializeIncoming: Boolean = true
+  ): DataFrame = {
+    val incomingSigs0 = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, numBands)
     minhashPairsAgainstSignatures(
       materializeSigs(minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, numBands), "minhash-corpus"),
-      materializeSigs(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, numBands), "minhash-incoming"),
+      if (materializeIncoming) materializeSigs(incomingSigs0, "minhash-incoming") else incomingSigs0,
       threshold, maxBucket)
+  }
 
   /** The (id, sh, bands) signature frame of [[minhashPairsAgainst]] — pure
     * deterministic Columns, no fitted state: WRITE this once for the
