@@ -27,12 +27,88 @@ object MinHashUtil {
 
   private final val Seed = 42L
 
+  // Public-domain xxHash64 primes (the same constants XXH64 uses — they are
+  // private there, and the lanes×shingles loop below needs hashLong's two
+  // halves SPLIT so the shingle-only half hoists out of the lane loop).
+  private final val P1 = 0x9e3779b185ebca87L
+  private final val P2 = 0xc2b2ae3d27d4eb4fL
+  private final val P3 = 0x165667b19e3779f9L
+  private final val P4 = 0x85ebca77c2b2ae63L
+  private final val P5 = 0x27d4eb2f165667c5L
+
+  /** Per-lane seed bases: hashInt(j, Seed) + P5 + 8 — the seed-only prefix
+    * of XXH64.hashLong. Cached per numHashes (a handful of distinct values
+    * per JVM); plain volatile-free race is benign (idempotent build).
+    */
+  private var laneBaseCache: (Int, Array[Long]) = (0, Array.emptyLongArray)
+  private def laneBases(numHashes: Int): Array[Long] = {
+    val c = laneBaseCache
+    if (c._1 == numHashes) c._2
+    else {
+      val a = Array.tabulate(numHashes)(j => XXH64.hashInt(j, Seed) + P5 + 8L)
+      laneBaseCache = (numHashes, a)
+      a
+    }
+  }
+
   /** LSH band keys straight from the shingle set: for each band b, fold the
     * band's `rowsPerBand` minhash lanes into one 64-bit key.
     * Empty input → all-identical sentinel keys (empty docs bucket together;
     * the bucket cap bounds that degenerate bucket, Dedup.capBuckets).
+    *
+    * Loop shape (round-7): shingle-OUTER with the shingle-only half of
+    * XXH64.hashLong — `rotl(s·P2, 31)·P1` — hoisted and computed once per
+    * shingle instead of once per (lane, shingle); the lane loop then does
+    * xor + rotl + mul + add + fmix per pair. Bit-identical to calling
+    * XXH64.hashLong(s, hashInt(j, Seed)) per pair (property-tested against
+    * [[bandKeysReference]]): hashLong(l, seed) decomposes as
+    * fmix(rotl((seed + P5 + 8) ^ k1, 27)·P1 + P4) with k1 = rotl(l·P2,31)·P1.
     */
   def bandKeys(sh: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
+    val rowsPerBand = numHashes / numBands
+    val n = sh.numElements()
+    val bases = laneBases(numHashes)
+    val lanes = new Array[Long](numHashes)
+    java.util.Arrays.fill(lanes, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        val k1 = java.lang.Long.rotateLeft(sh.getLong(i) * P2, 31) * P1
+        var j = 0
+        while (j < numHashes) {
+          var h = bases(j) ^ k1
+          h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+          // fmix
+          h ^= h >>> 33
+          h *= P2
+          h ^= h >>> 29
+          h *= P3
+          h ^= h >>> 32
+          if (h < lanes(j)) lanes(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(lanes(b * rowsPerBand + r), h)
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** The pre-round-7 lane loop (XXH64.hashLong per (lane, shingle)) — kept
+    * as the parity reference for [[bandKeys]]'s hoisted decomposition.
+    */
+  private[graft] def bandKeysReference(sh: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
     val rowsPerBand = numHashes / numBands
     val n = sh.numElements()
     val lanes = new Array[Long](numHashes)

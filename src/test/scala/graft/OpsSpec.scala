@@ -32,6 +32,22 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-9)
   }
 
+  test("bandKeys hoisted-prime decomposition ≡ XXH64.hashLong reference, incl. nulls/empties") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(17)
+    val cases: Seq[Array[java.lang.Long]] =
+      Seq(Array.empty[java.lang.Long], Array[java.lang.Long](0L), Array[java.lang.Long](null, 5L, null)) ++
+        (0 until 200).map(_ => Array.tabulate[java.lang.Long](rnd.nextInt(80)) { _ =>
+          if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextLong())
+        })
+    for (arr <- cases; (nh, nb) <- Seq((64, 16), (64, 32), (32, 16), (8, 8))) {
+      val in = new GenericArrayData(arr.asInstanceOf[Array[Any]])
+      val fast = graft.functions.MinHashUtil.bandKeys(in, nh, nb).toLongArray()
+      val ref = graft.functions.MinHashUtil.bandKeysReference(in, nh, nb).toLongArray()
+      assert(fast.sameElements(ref), s"nh=$nh nb=$nb n=${arr.length}")
+    }
+  }
+
   test("HashedShinglesSorted ≡ array_sort(hashedShingles) incl. multibyte text") {
     import org.apache.spark.sql.functions.array_sort
     val rnd = new scala.util.Random(11)
