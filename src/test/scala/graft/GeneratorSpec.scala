@@ -58,6 +58,21 @@ class GeneratorSpec extends SparkSpec {
     assert(jpegSeen > 10)
   }
 
+  test("metaRowOf ≡ rowOf on every shared field (drift × pool × phash)") {
+    for (drift <- Seq(false, true); pool <- Seq(0, 64)) {
+      (0L until 1200L).foreach { i =>
+        val full = SyntheticImages.rowOf(i, drift, pool)
+        val meta = SyntheticImages.metaRowOf(i, drift, pool, withPhash = true)
+        assert(meta.image_id == full.image_id && meta.w == full.w && meta.h == full.h &&
+          meta.fmt == full.fmt && meta.caption == full.caption && meta.phash == full.phash,
+          s"i=$i drift=$drift pool=$pool: $meta vs $full")
+        // phash-free mode must agree on everything except phash
+        val lite = SyntheticImages.metaRowOf(i, drift, pool, withPhash = false)
+        assert(lite.copy(phash = meta.phash) == meta, s"i=$i drift=$drift pool=$pool lite")
+      }
+    }
+  }
+
   test("image_id embeds a recoverable index and matches the uuid pattern") {
     val r = SyntheticImages.rowOf(12345L, drift = false, contentPool = 0)
     assert(r.image_id.matches(graft.engine.ImageConstraints.UuidRe))

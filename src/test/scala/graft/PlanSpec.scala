@@ -273,6 +273,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("violationRows is one pass: no Union of per-status branches in the plan") {
+    // Round-7: the invalid/error branches used to union two copies of the
+    // whole annotated subtree — with an in-plan engine call that was two
+    // full constraint-eval (and decode) passes over the input.
+    val imgs = graft.gen.SyntheticImages.images(spark, 100, 2).toDF()
+    val res = new graft.engine.ValidationEngine(
+      graft.engine.ImageConstraints.v1,
+      graft.engine.EngineOptions(snapshotId = "planspec")).process(imgs)
+    val p = res.violations.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Union"), s"violations plan re-unions the annotated subtree:\n${p.take(1500)}")
+    assert(p.contains("Generate"), s"expected the single explode pass:\n${p.take(800)}")
+  }
+
   test("LM perplexity: count models partially aggregate; V rides a single-row broadcast") {
     val df = Queries.q61LmPerplexity(spark, sfDir)
     df.collect()
